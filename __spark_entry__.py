@@ -1,38 +1,421 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+Each ``queries()`` entry exercises one operator family from SURVEY.md §2
+via the kgspark engine; ``oracle_sql()`` gives the DuckDB-equivalent over
+the same parquet tables. Timestamps are rendered as strings on both
+sides (Spark session TZ pinned to UTC) so value-hashes align; float
+scores are rounded identically.
 """
 
 from __future__ import annotations
 
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+
+def _ts(col):
+    return F.date_format(col, "yyyy-MM-dd HH:mm:ss.SSSSSS")
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: full KG-construction pipeline (SURVEY §3.2 bulk shape +
+    T2 invalidation) over deterministic synthetic pages; returns the
+    north-rule (subj, pred, obj, valid_at, invalid_at) triple table."""
+    from datetime import datetime
+
+    from kgspark.pipeline import build_graph
+    from kgspark.synth import synth_pages
+
+    pages = synth_pages(spark, n_docs=200, n_groups=8, seed=42)
+    g = build_graph(pages, now=datetime(2024, 6, 1))
+    edges, nodes = g["edges"], g["nodes"]
+    subj = nodes.select(F.col("uuid").alias("source_node_uuid"), F.col("name").alias("subj"))
+    obj = nodes.select(F.col("uuid").alias("target_node_uuid"), F.col("name").alias("obj"))
+    return (
+        edges.join(subj, "source_node_uuid").join(obj, "target_node_uuid")
+        .select(
+            "subj", F.col("name").alias("pred"), "obj", "fact",
+            "valid_at", "invalid_at", "group_id",
+        )
+        .orderBy("group_id", "subj", "pred", "obj")
+    )
+
+
+# ---------------------------------------------------------------------------
+# operator queries (spark, sf_dir) -> DataFrame
+# ---------------------------------------------------------------------------
+
+def _events(spark, sf):
+    return spark.read.parquet(f"{sf}/events.parquet")
+
+
+def _documents(spark, sf):
+    return spark.read.parquet(f"{sf}/documents.parquet")
+
+
+def _embeddings(spark, sf):
+    return spark.read.parquet(f"{sf}/embeddings.parquet")
+
+
+def q_s8_keyset_pagination(spark, sf):
+    """S8: keyset pagination ORDER BY key DESC with cursor (nodes.py:230-269)."""
+    from kgspark.sources.store import get_by_group_ids  # noqa: F401  (same shape)
+
+    return (
+        _events(spark, sf)
+        .where(F.col("event_id") < 9000)
+        .orderBy(F.desc("event_id"))
+        .limit(100)
+        .select("event_id", "user_id", "event_type")
+    )
+
+
+def q_s9_last_n_before(spark, sf):
+    """S9: last-n-per-group before a reference time (graph_data_operations.py:115-188)."""
+    w = Window.partitionBy("user_id").orderBy(F.desc("ts"), F.desc("event_id"))
+    return (
+        _events(spark, sf)
+        .where(F.col("ts") < F.lit("2024-01-05 00:00:00").cast("timestamp"))
+        .withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= 3)
+        .select("event_id", "user_id", "rn")
+    )
+
+
+def q_t2_invalidation(spark, sf):
+    """T2: run-compression window invalidation (edge_operations.py:364-394)
+    applied to events-as-facts: a user's run of equal event_type is closed
+    by the start of the next differing run."""
+    from kgspark.operators.temporal import _close_runs
+
+    df = (
+        _events(spark, sf)
+        .select(
+            F.col("event_id").cast("string").alias("uuid"),
+            F.col("user_id").cast("string").alias("group_id"),
+            F.col("event_type"),
+            F.col("ts").alias("_t"),
+        )
+        .withColumn("invalid_at", F.lit(None).cast("timestamp"))
+        .withColumn("expired_at", F.lit(None).cast("timestamp"))
+    )
+    out = _close_runs(df, ["group_id"], F.col("event_type"), F.current_timestamp())
+    return out.select(
+        F.col("uuid").cast("long").alias("event_id"),
+        F.col("group_id").cast("long").alias("user_id"),
+        "event_type",
+        _ts(F.col("_t")).alias("ts"),
+        _ts(F.col("invalid_at")).alias("invalid_at"),
+    )
+
+
+BM25_QUERY = ["spark", "join", "window"]
+BM25_K1, BM25_B = 1.2, 0.75
+
+
+def q_q3_bm25(spark, sf):
+    """Q3: BM25 fulltext scoring in SQL (replaces Lucene indexes,
+    search_utils.py:144-195) — postings join + idf*tf_norm sum."""
+    from kgspark.functions.text import tokenize
+
+    docs = _documents(spark, sf).select("doc_id", tokenize(F.col("text")).alias("toks"))
+    docs = docs.withColumn("doc_len", F.size("toks"))
+    n_docs = docs.count()
+    avg_len = docs.agg(F.avg("doc_len")).collect()[0][0]
+    postings = (
+        docs.select("doc_id", "doc_len", F.explode("toks").alias("term"))
+        .groupBy("doc_id", "doc_len", "term")
+        .agg(F.count("*").alias("tf"))
+    )
+    q = postings.where(F.col("term").isin(BM25_QUERY))
+    dfreq = q.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
+    idf = F.log(F.lit(1.0) + (F.lit(float(n_docs)) - F.col("df") + 0.5) / (F.col("df") + 0.5))
+    tf_norm = (F.col("tf") * (BM25_K1 + 1)) / (
+        F.col("tf") + BM25_K1 * (1 - BM25_B + BM25_B * F.col("doc_len") / F.lit(float(avg_len)))
+    )
+    scored = (
+        q.join(F.broadcast(dfreq), "term")
+        .withColumn("contrib", idf * tf_norm)
+        .groupBy("doc_id")
+        .agg(F.round(F.sum("contrib"), 3).alias("score"))
+        .orderBy(F.desc("score"), "doc_id")
+        .limit(20)
+    )
+    return scored
+
+
+def q_q4_cosine_topk(spark, sf):
+    """Q4: brute-force cosine top-k vs a query vector (search_utils.py:198-269),
+    native zip_with/aggregate dot product — no UDF."""
+    from kgspark.functions.embed import cosine
+
+    emb = _embeddings(spark, sf).select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    qvec = emb.where(F.col("vec_id") == 0).select(F.col("embedding").alias("q"))
+    norm = lambda c: F.sqrt(F.aggregate(c, F.lit(0.0), lambda a, x: a + x * x))  # noqa: E731
+    joined = emb.where(F.col("vec_id") != 0).crossJoin(F.broadcast(qvec))
+    return (
+        joined.withColumn(
+            "cos",
+            F.round(cosine(F.col("embedding"), F.col("q"))
+                    / (norm(F.col("embedding")) * norm(F.col("q"))), 4),
+        )
+        .select("vec_id", "cos")
+        .orderBy(F.desc("cos"), "vec_id")
+        .limit(20)
+    )
+
+
+def q_q7_rrf(spark, sf):
+    """Q7: reciprocal-rank-fusion reranker (search_utils.py:887-898):
+    score[id] = sum over lists of 1/(rank+1)."""
+    ev = _events(spark, sf)
+    clicks = (
+        ev.where(F.col("event_type") == "click")
+        .groupBy("user_id").agg(F.count("*").alias("n"))
+        .withColumn("rank", F.row_number().over(Window.orderBy(F.desc("n"), "user_id")))
+        .limit(50)
+    )
+    views = (
+        ev.where(F.col("event_type") == "view")
+        .groupBy("user_id").agg(F.round(F.sum("value"), 2).alias("v"))
+        .withColumn("rank", F.row_number().over(Window.orderBy(F.desc("v"), "user_id")))
+        .limit(50)
+    )
+    unioned = clicks.select("user_id", "rank").unionByName(views.select("user_id", "rank"))
+    return (
+        unioned.groupBy("user_id")
+        .agg(F.round(F.sum(1.0 / (F.col("rank") + 1)), 5).alias("rrf"))
+        .orderBy(F.desc("rrf"), "user_id")
+        .limit(20)
+    )
+
+
+def q_tpch_q1(spark, sf):
+    """Hash aggregation parity (SURVEY §2.7): TPC-H Q1 shape."""
+    li = spark.read.parquet(f"{sf}/lineitem.parquet")
+    return (
+        li.where(F.col("l_shipdate") <= F.lit("1998-09-02"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("sum_disc_price"),
+            F.count("*").alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+def q_top_k_join(spark, sf):
+    """Sort-limit over a join (SURVEY §2.7 top-k): revenue per order."""
+    li = spark.read.parquet(f"{sf}/lineitem.parquet")
+    orders = spark.read.parquet(f"{sf}/orders.parquet")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .groupBy("o_orderkey", "o_orderdate")
+        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"))
+        .orderBy(F.desc("revenue"), "o_orderkey")
+        .limit(10)
+        .select("o_orderkey", F.col("o_orderdate").cast("string").alias("o_orderdate"), "revenue")
+    )
+
+
+def q_doc_token_stats(spark, sf):
+    """Text analysis: token counting over documents (datapipe.textqa)."""
+    from kgspark.functions.text import tokenize
+
+    return (
+        _documents(spark, sf)
+        .select("doc_id", "lang", F.size(tokenize(F.col("text"))).alias("n_tokens"),
+                F.length("text").alias("len_chars"))
+        .orderBy("doc_id")
+    )
+
+
+def q_exact_dedup(spark, sf):
+    """Exact dedup via content hash (datapipe: hash-groupBy dedup; D1 analogue)."""
+    return (
+        _documents(spark, sf)
+        .groupBy(F.md5(F.col("text")).alias("text_hash"))
+        .agg(F.count("*").alias("n"), F.min("doc_id").alias("canonical_doc_id"))
+        .where(F.col("n") >= 1)
+        .orderBy("canonical_doc_id")
+    )
+
+
+def q_sessionize(spark, sf):
+    """Sessionization via lag + running sum (SURVEY §2.7 pattern; 30-min gap)."""
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    ev = _events(spark, sf).withColumn(
+        "new_sess",
+        F.when(
+            F.lag("ts").over(w).isNull()
+            | (
+                (F.col("ts").cast("timestamp_ltz").cast("long")
+                 - F.lag("ts").over(w).cast("timestamp_ltz").cast("long")) > 1800
+            ),
+            1,
+        ).otherwise(0),
+    )
+    sess = ev.withColumn(
+        "sess_id", F.sum("new_sess").over(w.rowsBetween(Window.unboundedPreceding, 0))
+    )
+    return (
+        sess.groupBy("user_id")
+        .agg(F.max("sess_id").alias("n_sessions"), F.count("*").alias("n_events"))
+        .orderBy("user_id")
+    )
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    return {
+        "s8_keyset_pagination": q_s8_keyset_pagination,
+        "s9_last_n_before": q_s9_last_n_before,
+        "t2_invalidation": q_t2_invalidation,
+        "q3_bm25": q_q3_bm25,
+        "q4_cosine_topk": q_q4_cosine_topk,
+        "q7_rrf": q_q7_rrf,
+        "tpch_q1": q_tpch_q1,
+        "top_k_join": q_top_k_join,
+        "doc_token_stats": q_doc_token_stats,
+        "exact_dedup": q_exact_dedup,
+        "sessionize": q_sessionize,
+    }
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
 
+# ---------------------------------------------------------------------------
+# DuckDB oracles
+# ---------------------------------------------------------------------------
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    bm25_terms = ",".join(f"'{t}'" for t in BM25_QUERY)
+    return {
+        "s8_keyset_pagination": """
+            SELECT event_id, user_id, event_type FROM events
+            WHERE event_id < 9000 ORDER BY event_id DESC LIMIT 100
+        """,
+        "s9_last_n_before": """
+            SELECT event_id, user_id, rn FROM (
+              SELECT event_id, user_id,
+                     row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+              FROM events WHERE ts < TIMESTAMP '2024-01-05 00:00:00'
+            ) WHERE rn <= 3
+        """,
+        "t2_invalidation": """
+            WITH marked AS (
+              SELECT event_id, user_id, event_type, ts,
+                     CASE WHEN lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                               IS DISTINCT FROM event_type THEN 1 ELSE 0 END AS chg
+              FROM events
+            ), runs AS (
+              SELECT *, sum(chg) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                       ROWS UNBOUNDED PRECEDING) AS run
+              FROM marked
+            ), run_bounds AS (
+              SELECT user_id, run, min(ts) AS run_start FROM runs GROUP BY user_id, run
+            ), nxt AS (
+              SELECT user_id, run,
+                     lead(run_start) OVER (PARTITION BY user_id ORDER BY run) AS next_start
+              FROM run_bounds
+            )
+            SELECT r.event_id, r.user_id, r.event_type,
+                   strftime(r.ts, '%Y-%m-%d %H:%M:%S.%f') AS ts,
+                   strftime(n.next_start, '%Y-%m-%d %H:%M:%S.%f') AS invalid_at
+            FROM runs r JOIN nxt n USING (user_id, run)
+        """,
+        "q3_bm25": f"""
+            WITH toks AS (
+              SELECT doc_id, t.term FROM documents,
+                UNNEST(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                                   x -> x <> '')) AS t(term)
+            ), doclen AS (
+              SELECT doc_id, count(*) AS doc_len FROM toks GROUP BY doc_id
+            ), stats AS (
+              SELECT count(*)::DOUBLE AS n_docs, avg(doc_len) AS avg_len FROM doclen
+            ), tf AS (
+              SELECT doc_id, term, count(*) AS tf FROM toks
+              WHERE term IN ({bm25_terms}) GROUP BY doc_id, term
+            ), dfreq AS (
+              SELECT term, count(DISTINCT doc_id) AS df FROM tf GROUP BY term
+            )
+            SELECT tf.doc_id,
+                   round(sum(
+                     ln(1.0 + (stats.n_docs - dfreq.df + 0.5)/(dfreq.df + 0.5)) *
+                     (tf.tf * ({BM25_K1} + 1)) /
+                     (tf.tf + {BM25_K1} * (1 - {BM25_B} + {BM25_B} * doclen.doc_len / stats.avg_len))
+                   ), 3) AS score
+            FROM tf JOIN dfreq USING (term) JOIN doclen USING (doc_id), stats
+            GROUP BY tf.doc_id ORDER BY score DESC, tf.doc_id LIMIT 20
+        """,
+        "q4_cosine_topk": """
+            WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0)
+            SELECT vec_id,
+                   round(list_cosine_similarity(embedding::DOUBLE[], q.qv::DOUBLE[]), 4) AS cos
+            FROM embeddings, q WHERE vec_id <> 0
+            ORDER BY cos DESC, vec_id LIMIT 20
+        """,
+        "q7_rrf": """
+            WITH clicks AS (
+              SELECT user_id, row_number() OVER (ORDER BY count(*) DESC, user_id) AS rank
+              FROM events WHERE event_type = 'click' GROUP BY user_id
+              ORDER BY rank LIMIT 50
+            ), views AS (
+              SELECT user_id,
+                     row_number() OVER (ORDER BY round(sum(value),2) DESC, user_id) AS rank
+              FROM events WHERE event_type = 'view' GROUP BY user_id
+              ORDER BY rank LIMIT 50
+            ), unioned AS (
+              SELECT user_id, rank FROM clicks UNION ALL SELECT user_id, rank FROM views
+            )
+            SELECT user_id, round(sum(1.0/(rank+1)), 5) AS rrf
+            FROM unioned GROUP BY user_id ORDER BY rrf DESC, user_id LIMIT 20
+        """,
+        "tpch_q1": """
+            SELECT l_returnflag, l_linestatus,
+                   round(sum(l_quantity), 2) AS sum_qty,
+                   round(sum(l_extendedprice), 2) AS sum_base_price,
+                   round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+                   count(*) AS count_order
+            FROM lineitem WHERE l_shipdate <= DATE '1998-09-02'
+            GROUP BY l_returnflag, l_linestatus ORDER BY l_returnflag, l_linestatus
+        """,
+        "top_k_join": """
+            SELECT o_orderkey, CAST(o_orderdate AS VARCHAR) AS o_orderdate,
+                   round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+            FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+            GROUP BY o_orderkey, o_orderdate
+            ORDER BY revenue DESC, o_orderkey LIMIT 10
+        """,
+        "doc_token_stats": """
+            SELECT doc_id, lang,
+                   len(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                                   x -> x <> '')) AS n_tokens,
+                   length(text) AS len_chars
+            FROM documents ORDER BY doc_id
+        """,
+        "exact_dedup": """
+            SELECT md5(text) AS text_hash, count(*) AS n, min(doc_id) AS canonical_doc_id
+            FROM documents GROUP BY md5(text) HAVING count(*) >= 1
+            ORDER BY canonical_doc_id
+        """,
+        "sessionize": """
+            WITH marked AS (
+              SELECT user_id, event_id, ts,
+                     CASE WHEN lag(ts) OVER w IS NULL
+                               OR epoch(ts) - epoch(lag(ts) OVER w) > 1800
+                          THEN 1 ELSE 0 END AS new_sess
+              FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+            ), sess AS (
+              SELECT user_id,
+                     sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                         ROWS UNBOUNDED PRECEDING) AS sess_id
+              FROM marked
+            )
+            SELECT user_id, max(sess_id) AS n_sessions, count(*) AS n_events
+            FROM sess GROUP BY user_id ORDER BY user_id
+        """,
+    }

@@ -1,0 +1,90 @@
+"""Benchmark harness (driver contract): runs the headline queries at
+$SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on
+local[$SPARK_GRAFT_CPUS] and prints ONE JSON line.
+
+Sections:
+- pipeline: full KG construction (synth pages → graph tables) — docs/sec
+  and triples/sec, the BASELINE.json headline metric
+- retrieval/operator queries from __spark_entry__ at the sf dir
+
+Scaling evidence (local[8] vs local[32]) is produced by
+tools/scaling_bench.py which invokes this file twice.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+# pipeline corpus size scales with the sf of the test dir
+_SF = float(SF_DIR.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in SF_DIR else 0.1
+PIPE_DOCS = int(os.environ.get("SPARK_GRAFT_PIPE_DOCS", str(max(200, int(200_000 * _SF)))))
+
+BENCH_QUERIES = [
+    "q3_bm25", "q4_cosine_topk", "q7_rrf", "t2_invalidation",
+    "sessionize", "tpch_q1", "top_k_join",
+]
+
+
+def main() -> None:
+    from datetime import datetime
+
+    import __spark_entry__ as entry_mod
+    from kgspark.pipeline import build_graph
+    from kgspark.session import get_spark
+    from kgspark.synth import synth_pages
+
+    spark = get_spark("kgspark-bench", master=f"local[{CPUS}]",
+                      shuffle_partitions=CPUS)
+
+    timings: dict[str, float] = {}
+    total_start = time.perf_counter()
+
+    # ---------------- pipeline: the headline construction job
+    t0 = time.perf_counter()
+    pages = synth_pages(spark, n_docs=PIPE_DOCS, n_groups=max(16, CPUS * 4),
+                        seed=42, partitions=CPUS * 2)
+    g = build_graph(pages, now=datetime(2024, 6, 1))
+    n_edges = g["edges"].count()
+    n_nodes = g["nodes"].count()
+    pipe_sec = time.perf_counter() - t0
+    timings["pipeline_build_graph"] = round(pipe_sec, 3)
+
+    # ---------------- operator/retrieval queries at the sf dir
+    qs = entry_mod.queries()
+    for name in BENCH_QUERIES:
+        fn = qs[name]
+        t0 = time.perf_counter()
+        df = fn(spark, SF_DIR)
+        df.count()  # materialize; results stay distributed
+        timings[name] = round(time.perf_counter() - t0, 3)
+
+    total = time.perf_counter() - total_start
+    docs_per_sec = PIPE_DOCS / pipe_sec if pipe_sec else 0.0
+    triples_per_sec = n_edges / pipe_sec if pipe_sec else 0.0
+
+    print(json.dumps({
+        "metric": "kg_construct_total",
+        "value": round(total, 3),
+        "unit": "sec",
+        "queries": timings,
+        "sf": _SF,
+        "pipeline": {
+            "docs": PIPE_DOCS,
+            "nodes": n_nodes,
+            "triples": n_edges,
+            "docs_per_sec": round(docs_per_sec, 1),
+            "triples_per_sec": round(triples_per_sec, 1),
+            "cpus": CPUS,
+        },
+    }))
+
+
+if __name__ == "__main__":
+    main()

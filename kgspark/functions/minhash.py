@@ -1,0 +1,130 @@
+"""MinHash + LSH banding + SimHash as native Spark SQL expressions.
+
+No Python in the hot path: shingling = `sequence`+`transform`+`substring`,
+hashing = `xxhash64` with per-permutation seeds, min-reduction =
+`array_min`, banding = `concat_ws` slices. All whole-stage-codegen'd.
+
+Used by:
+- D2 entity-name dedup (SURVEY §2.3; replaces the reference's LLM
+  compress_nodes, bulk_utils.py:291-362)
+- datapipe document near-dup (MinHash-LSH / SimHash over `documents`)
+
+LSH recall math: P(collide) = 1 - (1 - j^r)^b for Jaccard j with b bands
+of r rows; defaults b=16, r=8 (128 perms) → j=0.7 collides w.p. ~0.61,
+j=0.9 ~1.0 — tuned for near-dup thresholds ≥0.8.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def char_shingles(text: Column, n: int = 3) -> Column:
+    """Distinct character n-grams of a string (padded for short strings)."""
+    padded = F.concat(F.lit(" "), text, F.lit(" "))
+    idx = F.sequence(F.lit(1), F.greatest(F.length(padded) - (n - 1), F.lit(1)))
+    return F.array_distinct(F.transform(idx, lambda i: F.substring(padded, i, n)))
+
+
+def word_shingles(tokens: Column, n: int = 3) -> Column:
+    """Distinct word n-grams from a token array column."""
+    m = F.size(tokens)
+    idx = F.sequence(F.lit(0), F.greatest(m - n, F.lit(0)))
+    return F.when(m >= n, F.array_distinct(
+        F.transform(idx, lambda i: F.concat_ws(" ", F.slice(tokens, i + 1, n)))
+    )).otherwise(F.array(F.concat_ws(" ", tokens)))
+
+
+def minhash_signature(shingles: Column, num_hashes: int = 128) -> Column:
+    """ARRAY<BIGINT> of num_hashes min-hash values: for permutation k,
+    min over shingles of xxhash64(shingle, k)."""
+    return F.transform(
+        F.sequence(F.lit(0), F.lit(num_hashes - 1)),
+        lambda k: F.array_min(F.transform(shingles, lambda s: F.xxhash64(s, k))),
+    )
+
+
+def lsh_band_keys(signature: Column, bands: int = 16, rows: int = 8) -> Column:
+    """ARRAY<STRING> of band bucket keys: band index + hash of its row slice."""
+    return F.transform(
+        F.sequence(F.lit(0), F.lit(bands - 1)),
+        lambda b: F.concat_ws(
+            "|", b.cast("string"),
+            F.xxhash64(F.concat_ws(",", F.transform(
+                F.slice(signature, b * rows + 1, rows), lambda x: x.cast("string")
+            ))).cast("string"),
+        ),
+    )
+
+
+def jaccard(a: Column, b: Column) -> Column:
+    inter = F.size(F.array_intersect(a, b))
+    return inter / (F.size(a) + F.size(b) - inter)
+
+
+def simhash64(tokens: Column) -> Column:
+    """64-bit SimHash of a token array: per-bit majority vote of token
+    hashes. Token hashes are rendered as 64-bit binary strings (two's
+    complement via `bin`), votes aggregated per position, and the result
+    reassembled from two 32-bit halves (`conv` base-2 → long)."""
+    hash_bits = F.transform(tokens, lambda t: F.lpad(F.bin(F.xxhash64(t)), 64, "0"))
+    votes = F.transform(
+        F.sequence(F.lit(1), F.lit(64)),
+        lambda i: F.aggregate(
+            hash_bits,
+            F.lit(0),
+            lambda acc, s: acc + F.when(F.substring(s, i, F.lit(1)) == "1", 1).otherwise(-1),
+        ),
+    )
+    bits = F.concat_ws(
+        "", F.transform(votes, lambda v: F.when(v > 0, F.lit("1")).otherwise(F.lit("0")))
+    )
+    hi = F.conv(F.substring(bits, 1, 32), 2, 10).cast("long")
+    lo = F.conv(F.substring(bits, 33, 32), 2, 10).cast("long")
+    return F.shiftleft(hi, 32).bitwiseOR(lo)
+
+
+def hamming64(a: Column, b: Column) -> Column:
+    return F.bit_count(a.bitwiseXOR(b))
+
+
+def lsh_pairs(
+    df: DataFrame,
+    id_col: str,
+    shingle_col: str,
+    group_col: str | None = None,
+    num_hashes: int = 128,
+    bands: int = 16,
+    jaccard_threshold: float = 0.6,
+) -> DataFrame:
+    """Candidate near-dup pairs (id_a < id_b, jaccard) via banded MinHash
+    LSH: signature → explode band keys → self-join per bucket → exact
+    Jaccard verify. Shuffle is on band keys (bounded bucket sizes at scale
+    by salting oversized buckets upstream if needed)."""
+    rows = num_hashes // bands
+    sig = df.select(
+        F.col(id_col).alias("_id"),
+        *( [F.col(group_col).alias("_grp")] if group_col else [F.lit("").alias("_grp")] ),
+        F.col(shingle_col).alias("_sh"),
+    ).withColumn("_band", F.explode(lsh_band_keys(
+        minhash_signature(F.col("_sh"), num_hashes), bands, rows)))
+    a = sig.alias("a")
+    b = sig.alias("b")
+    pairs = (
+        a.join(b, on=[F.col("a._band") == F.col("b._band"),
+                      F.col("a._grp") == F.col("b._grp"),
+                      F.col("a._id") < F.col("b._id")])
+        .select(
+            F.col("a._id").alias("id_a"),
+            F.col("b._id").alias("id_b"),
+            F.col("a._grp").alias("group"),
+            F.col("a._sh").alias("sh_a"),
+            F.col("b._sh").alias("sh_b"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+        .withColumn("jaccard", jaccard(F.col("sh_a"), F.col("sh_b")))
+        .where(F.col("jaccard") >= jaccard_threshold)
+        .drop("sh_a", "sh_b")
+    )
+    return pairs

@@ -1,0 +1,258 @@
+"""Deduplication / canonicalization operators D1-D11 (SURVEY §2.3).
+
+The reference dedups with per-chunk LLM calls + embedding dot-products
+(bulk_utils.py:291-362, node_operations.py:271-380). We replace that
+with deterministic candidate generation — exact normalized name (D1),
+acronym/initialism alias, surname-containment alias, MinHash-LSH
+shingle similarity (D2) — then connected components over the alias
+pair graph, canonical = first occurrence (min (created_at, uuid) —
+reference "first wins", bulk_utils.py:283-287), with D4's transitive
+closure handled by the CC fixpoint itself.
+
+All joins are equi-joins on derived keys (group_id + alias key / LSH
+band) — no cross joins; alias-cluster components are tiny so the CC
+loop converges in O(log max-component) iterations (bounded at 10,
+localCheckpoint per iteration to truncate lineage).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from kgspark.functions.minhash import char_shingles, lsh_pairs
+from kgspark.functions.text import acronym, last_token, norm_name
+
+
+# ------------------------------------------------------------------ D1
+def name_match_uuid_map(ext_nodes: DataFrame) -> DataFrame:
+    """D1 (bulk_utils.py:278-288): exact-name dedup, first occurrence wins.
+    With content-addressed node uuids (sha1 of group+norm_name) this is
+    identity — kept as an explicit operator for parity tests over
+    arbitrary uuid inputs: emits (uuid, canonical_uuid)."""
+    w = Window.partitionBy("group_id", "norm_name").orderBy("warc_ts", "episode_uuid")
+    return (
+        ext_nodes.withColumn("canonical_uuid", F.first("uuid").over(w))
+        .select("uuid", "canonical_uuid")
+        .dropDuplicates(["uuid"])
+    )
+
+
+# ------------------------------------------------------------------ D2
+def alias_pairs(nodes: DataFrame, jaccard_threshold: float = 0.55) -> DataFrame:
+    """Candidate alias pairs (uuid_a, uuid_b) within group_id from three
+    deterministic generators (replacing LLM dedupe_node_list semantics,
+    prompts/dedupe_nodes.py:100-107 — alias forms, abbreviations):
+
+    1. acronym:  'SF' == initialism('San Francisco')
+    2. surname:  single-token name == last token of a multi-token name;
+       ambiguity resolved to the most-mentioned candidate (deterministic
+       stand-in for the reference's LLM duplicate_idx pick,
+       prompts/dedupe_nodes.py:52-65)
+    3. MinHash-LSH over char-3-gram shingles of the normalized name with
+       exact-Jaccard verification ('Acme Corp' vs 'Acme Corp.')
+    """
+    base = nodes.select(
+        "uuid", "group_id", "name", "norm_name",
+        F.coalesce(
+            F.element_at(F.col("attributes"), "mention_count").cast("long"), F.lit(1)
+        ).alias("weight"),
+        F.size(F.split(F.col("norm_name"), " ")).alias("n_toks"),
+    )
+
+    # 1. acronym join: multi-word names keyed by initialism vs short all-caps names
+    multi = base.where(F.col("n_toks") >= 2).select(
+        "group_id", F.col("uuid").alias("uuid_m"), acronym(F.col("name")).alias("akey"),
+        F.col("weight").alias("w_m"),
+    )
+    shorts = base.where(
+        (F.col("n_toks") == 1) & F.col("name").rlike(r"^[A-Z][A-Z0-9.&]{1,5}$")
+    ).select("group_id", F.col("uuid").alias("uuid_s"),
+             F.upper(F.regexp_replace("name", r"[^A-Za-z0-9]", "")).alias("akey"))
+    acro = multi.join(shorts, ["group_id", "akey"]).select(
+        F.col("uuid_m").alias("id_a"), F.col("uuid_s").alias("id_b"),
+        F.col("w_m").alias("w"),
+    )
+    # ambiguous acronym (two expansions in group) → keep highest-weight, tie min uuid
+    w_ac = Window.partitionBy("id_b").orderBy(F.desc("w"), "id_a")
+    acro = acro.withColumn("_rn", F.row_number().over(w_ac)).where("_rn = 1").drop("_rn", "w")
+
+    # 2. surname join: bare single-token name vs multi-token names ending in it
+    singles = base.where(F.col("n_toks") == 1).select(
+        "group_id", F.col("uuid").alias("uuid_s"), F.col("norm_name").alias("skey"))
+    multi_last = base.where(F.col("n_toks") >= 2).select(
+        "group_id", F.col("uuid").alias("uuid_m"),
+        norm_name(last_token(F.col("norm_name"))).alias("skey"),
+        F.col("weight").alias("w_m"),
+    )
+    surname = multi_last.join(singles, ["group_id", "skey"]).select(
+        F.col("uuid_m").alias("id_a"), F.col("uuid_s").alias("id_b"),
+        F.col("w_m").alias("w"),
+    )
+    w_sn = Window.partitionBy("id_b").orderBy(F.desc("w"), "id_a")
+    surname = surname.withColumn("_rn", F.row_number().over(w_sn)).where("_rn = 1").drop("_rn", "w")
+
+    # 3. MinHash-LSH near-identical spellings
+    sh = base.withColumn("shingles", char_shingles(F.col("norm_name"), 3))
+    lsh = lsh_pairs(
+        sh, id_col="uuid", shingle_col="shingles", group_col="group_id",
+        jaccard_threshold=jaccard_threshold,
+    ).select("id_a", "id_b")
+
+    return acro.unionByName(surname).unionByName(lsh).dropDuplicates(["id_a", "id_b"])
+
+
+# ------------------------------------------------------------------ D2/D4: CC
+def connected_components(pairs: DataFrame, max_iter: int = 10) -> DataFrame:
+    """Min-label propagation over the undirected alias-pair graph →
+    (uuid, component) — subsumes D4 transitive uuid-map compression
+    (bulk_utils.py:387-396): chains a→b→c converge to one component.
+    Components here are alias clusters (tiny), so convergence is fast;
+    localCheckpoint truncates lineage each round."""
+    edges = (
+        pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
+        .unionByName(pairs.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst")))
+        .distinct()
+        .persist()
+    )
+    labels = (
+        edges.select(F.col("src").alias("id"))
+        .distinct()
+        .withColumn("comp", F.col("id"))
+        .localCheckpoint()
+    )
+    for _ in range(max_iter):
+        nbr_min = (
+            edges.join(labels, edges.dst == labels.id)
+            .groupBy("src")
+            .agg(F.min("comp").alias("nbr_comp"))
+        )
+        new_labels = (
+            labels.join(nbr_min, labels.id == nbr_min.src, "left")
+            .select(
+                "id",
+                F.least(F.col("comp"), F.coalesce(F.col("nbr_comp"), F.col("comp"))).alias("comp"),
+            )
+        ).localCheckpoint()
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "id")
+            .where(F.col("n.comp") != F.col("o.comp"))
+            .limit(1)
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    edges.unpersist()
+    return labels
+
+
+def build_uuid_map(nodes: DataFrame, pairs: DataFrame) -> DataFrame:
+    """(uuid, canonical_uuid) for every aliased node; canonical = first
+    occurrence in the component by (created_at, uuid) — reference
+    first-wins (bulk_utils.py:283-287). Identity rows omitted."""
+    comp = connected_components(pairs)
+    with_meta = comp.join(nodes.select("uuid", "created_at"), comp.id == nodes.uuid).select(
+        "id", "comp", "created_at"
+    )
+    canon = with_meta.groupBy("comp").agg(
+        F.min_by("id", F.struct("created_at", "id")).alias("canonical_uuid")
+    )
+    return (
+        with_meta.join(canon, "comp")
+        .select(F.col("id").alias("uuid"), "canonical_uuid")
+        .where(F.col("uuid") != F.col("canonical_uuid"))
+    )
+
+
+def apply_uuid_map_nodes(nodes: DataFrame, uuid_map: DataFrame) -> DataFrame:
+    """Merge aliased node rows into their canonical row (D3 merge
+    semantics, node_operations.py:539-581): canonical row wins name /
+    created_at / embedding; alias names recorded in attributes; mention
+    counts summed."""
+    mapped = (
+        nodes.join(F.broadcast(uuid_map), "uuid", "left")
+        .withColumn("final_uuid", F.coalesce("canonical_uuid", "uuid"))
+    )
+    merged = (
+        mapped.groupBy("final_uuid")
+        .agg(
+            F.min_by(
+                F.struct("name", "group_id", "labels", "summary", "name_embedding", "norm_name"),
+                F.struct("created_at", "uuid"),
+            ).alias("first"),
+            F.min("created_at").alias("created_at"),
+            F.array_sort(F.array_distinct(F.collect_list("name"))).alias("alias_names"),
+            F.sum(
+                F.coalesce(
+                    F.element_at(F.col("attributes"), "mention_count").cast("long"),
+                    F.lit(1),
+                )
+            ).alias("mention_count"),
+        )
+        .select(
+            F.col("final_uuid").alias("uuid"),
+            F.col("first.name").alias("name"),
+            F.col("first.group_id").alias("group_id"),
+            F.col("first.labels").alias("labels"),
+            F.col("created_at"),
+            F.col("first.summary").alias("summary"),
+            F.col("first.name_embedding").alias("name_embedding"),
+            F.map_from_arrays(
+                F.array(F.lit("mention_count"), F.lit("aliases")),
+                F.array(
+                    F.col("mention_count").cast("string"),
+                    F.concat_ws("|", F.col("alias_names")),
+                ),
+            ).alias("attributes"),
+            F.col("first.norm_name").alias("norm_name"),
+        )
+    )
+    return merged
+
+
+# ------------------------------------------------------------------ D7/D8/D9
+def resolve_edge_pointers(ext_edges: DataFrame, uuid_map: DataFrame) -> DataFrame:
+    """D7 (bulk_utils.py:402-426): rewrite edge endpoints through the
+    uuid_map. Alias map is small relative to edges → broadcast joins, no
+    shuffle of the edge set."""
+    m_src = F.broadcast(uuid_map.withColumnRenamed("uuid", "source_node_uuid")
+                        .withColumnRenamed("canonical_uuid", "_src_canon"))
+    m_dst = F.broadcast(uuid_map.withColumnRenamed("uuid", "target_node_uuid")
+                        .withColumnRenamed("canonical_uuid", "_dst_canon"))
+    return (
+        ext_edges.join(m_src, "source_node_uuid", "left")
+        .join(m_dst, "target_node_uuid", "left")
+        .withColumn("source_node_uuid", F.coalesce("_src_canon", "source_node_uuid"))
+        .withColumn("target_node_uuid", F.coalesce("_dst_canon", "target_node_uuid"))
+        .drop("_src_canon", "_dst_canon")
+    )
+
+
+def dedupe_edges(ext_edges: DataFrame) -> DataFrame:
+    """D8+D9 (bulk_utils.py:469-486, edge_operations.py:550-580): drop
+    self-loops, then within (group, src, dst, pred) keep the first fact
+    (by valid_at-then-created order) and union episode provenance —
+    duplicate ⇒ reuse existing edge + append episode uuid
+    (edge_operations.py:450-477). One shuffle on the edge key."""
+    no_loops = ext_edges.where(F.col("source_node_uuid") != F.col("target_node_uuid"))
+    order = F.struct(
+        F.coalesce(F.col("valid_at"), F.col("warc_ts")).alias("t"),
+        F.col("warc_ts"),
+        F.col("uuid"),
+    )
+    return (
+        no_loops.groupBy("group_id", "source_node_uuid", "target_node_uuid", "pred")
+        .agg(
+            F.min_by("uuid", order).alias("uuid"),
+            F.min_by("fact", order).alias("fact"),
+            F.min_by("valid_at", order).alias("valid_at"),
+            F.min_by("invalid_at", order).alias("invalid_at"),
+            F.min("warc_ts").alias("created_at"),
+            F.min_by("warc_ts", order).alias("ref_ts"),
+            F.array_sort(F.array_distinct(F.collect_list("episode_uuid"))).alias("episodes"),
+            F.min_by("subj_name", order).alias("subj_name"),
+            F.min_by("obj_name", order).alias("obj_name"),
+        )
+    )

@@ -1,0 +1,149 @@
+"""Bi-temporal invalidation operators T1-T3 (SURVEY §2.4).
+
+The reference resolves contradictions per-new-edge: fetch candidates
+sharing an endpoint (search_utils.py:819-883), LLM/pure-Python overlap
+test, then ``edge.invalid_at = new.valid_at; edge.expired_at = now``
+(edge_operations.py:364-394). As batch dataflow this is exactly a
+window pass: partition facts by their contradiction key, order by
+effective time (coalesce(valid_at, warc_ts)), and close each run of
+equal value at the start of the next differing run.
+
+Deterministic contradiction predicate (T3 stand-in for the LLM variant,
+temporal_operations.py:74-101):
+- AFFECT class: {LIKES,LOVES}=pos vs {DISLIKES,HATES}=neg on the same
+  (src,dst) — polarity flip contradicts (the reference's own
+  Alice-likes/dislikes-Bob fixture, test_temporal_operations_int.py:94-120)
+- TRUST class: TRUSTS vs DISTRUSTS; SUPPORT class: SUPPORTS vs OPPOSES
+- functional predicates (one object at a time per subject):
+  LIVES_IN / WORKS_AT / WORKS_FOR / REPORTS_TO / MOVED_TO / IS_*_OF —
+  new object supersedes the old
+- role predicates IS_*_OF are also inverse-functional: a new holder of
+  the same (pred, obj) supersedes the previous holder
+
+Each pass = one shuffle on its partition key; passes compose (they only
+tighten invalid_at; ordering keys never change). Skew note: hot
+entities (celebrity pages) concentrate in single (group, src, pred)
+partitions — the window itself is O(run) per partition and AQE handles
+shuffle-size skew; pathological single-key explosions are bounded
+upstream by D9's per-(src,dst,pred) collapse.
+"""
+
+from __future__ import annotations
+
+from datetime import datetime
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+POS_AFFECT = ("LIKES", "LOVES")
+NEG_AFFECT = ("DISLIKES", "HATES")
+CLASSES = {  # pred -> (class, polarity value)
+    **{p: ("AFFECT", "pos") for p in POS_AFFECT},
+    **{p: ("AFFECT", "neg") for p in NEG_AFFECT},
+    "TRUSTS": ("TRUST", "pos"), "DISTRUSTS": ("TRUST", "neg"),
+    "SUPPORTS": ("SUPPORT", "pos"), "OPPOSES": ("SUPPORT", "neg"),
+}
+FUNCTIONAL_PREDS = ("LIVES_IN", "WORKS_AT", "WORKS_FOR", "REPORTS_TO", "MOVED_TO")
+
+
+def _class_expr():
+    mapping = F.create_map(*[F.lit(x) for kv in CLASSES.items() for x in (kv[0], kv[1][0])])
+    return F.element_at(mapping, F.col("pred"))
+
+
+def _polarity_expr():
+    mapping = F.create_map(*[F.lit(x) for kv in CLASSES.items() for x in (kv[0], kv[1][1])])
+    return F.element_at(mapping, F.col("pred"))
+
+
+def _is_functional():
+    return F.col("pred").isin(*FUNCTIONAL_PREDS) | (
+        F.col("pred").startswith("IS_") & F.col("pred").endswith("_OF")
+    )
+
+
+def _close_runs(df: DataFrame, part_cols: list, value_col, now_col, t_col="_t") -> DataFrame:
+    """Core T2 window pass: within each partition (ordered by effective
+    time), a row's run of equal `value` is closed by the start time of
+    the next run with a different value → tighten invalid_at, stamp
+    expired_at (transaction-time end) when this pass changed it."""
+    w = Window.partitionBy(*part_cols).orderBy(t_col, "uuid")
+    changed = (
+        F.when(F.lag(value_col).over(w).isNull(), F.lit(1))
+        .when(F.lag(value_col).over(w) != value_col, F.lit(1))
+        .otherwise(F.lit(0))
+    )
+    df = df.withColumn("_run", F.sum(changed).over(
+        w.rowsBetween(Window.unboundedPreceding, 0)))
+    runs = df.groupBy(*part_cols, "_run").agg(F.min(t_col).alias("_run_start"))
+    w_runs = Window.partitionBy(*part_cols).orderBy("_run")
+    runs = runs.withColumn("_next_start", F.lead("_run_start").over(w_runs)).drop("_run_start")
+    out = df.join(runs, [*part_cols, "_run"], "left")
+    tightened = F.when(
+        F.col("_next_start").isNotNull()
+        & (F.col("invalid_at").isNull() | (F.col("_next_start") < F.col("invalid_at"))),
+        F.col("_next_start"),
+    )
+    return (
+        out.withColumn("expired_at",
+                       F.when(tightened.isNotNull(), now_col).otherwise(F.col("expired_at")))
+        .withColumn("invalid_at", F.coalesce(tightened, F.col("invalid_at")))
+        .drop("_run", "_next_start")
+    )
+
+
+def invalidate_edges(edges: DataFrame, now: datetime | None = None) -> DataFrame:
+    """T2 over a deduped edge set. Expects columns: uuid, group_id,
+    source_node_uuid, target_node_uuid, pred, valid_at, invalid_at,
+    ref_ts (the earliest supporting episode's warc_ts). Adds/updates
+    invalid_at + expired_at."""
+    now_col = F.lit(now) if now is not None else F.current_timestamp()
+    df = edges
+    if "expired_at" not in df.columns:
+        df = df.withColumn("expired_at", F.lit(None).cast("timestamp"))
+    df = (
+        df.withColumn("_t", F.coalesce("valid_at", "ref_ts"))
+        .withColumn("_class", _class_expr())
+        .withColumn("_polarity", _polarity_expr())
+        .withColumn("_functional", _is_functional())
+    )
+
+    # pass 1: antonym classes on the same directed (src, dst)
+    affect = df.where(F.col("_class").isNotNull())
+    rest = df.where(F.col("_class").isNull())
+    affect = _close_runs(
+        affect,
+        ["group_id", "source_node_uuid", "target_node_uuid", "_class"],
+        F.col("_polarity"), now_col,
+    )
+    df = affect.unionByName(rest)
+
+    # pass 2: functional preds — new object supersedes old per (src, pred)
+    func = df.where(F.col("_functional"))
+    rest = df.where(~F.col("_functional"))
+    func = _close_runs(
+        func, ["group_id", "source_node_uuid", "pred"],
+        F.col("target_node_uuid"), now_col,
+    )
+    df = func.unionByName(rest)
+
+    # pass 3: inverse-functional role preds — new holder supersedes per (pred, obj)
+    role = df.where(F.col("pred").startswith("IS_") & F.col("pred").endswith("_OF"))
+    rest = df.where(~(F.col("pred").startswith("IS_") & F.col("pred").endswith("_OF")))
+    role = _close_runs(
+        role, ["group_id", "target_node_uuid", "pred"],
+        F.col("source_node_uuid"), now_col,
+    )
+    df = role.unionByName(rest)
+
+    return df.drop("_t", "_class", "_polarity", "_functional")
+
+
+def point_in_time(edges: DataFrame, at) -> DataFrame:
+    """T4 validity filter (search_helpers.py:53-59): facts valid at `at` —
+    valid_at <= at AND (invalid_at IS NULL OR invalid_at > at)."""
+    at_col = F.lit(at)
+    return edges.where(
+        (F.col("valid_at").isNull() | (F.col("valid_at") <= at_col))
+        & (F.col("invalid_at").isNull() | (F.col("invalid_at") > at_col))
+    )

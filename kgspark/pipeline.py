@@ -1,0 +1,116 @@
+"""End-to-end KG construction pipeline — the Spark restatement of
+``Graphiti.add_episode_bulk`` (reference graphiti.py:487-598) **plus**
+the T2 invalidation pass the bulk path skips (graphiti.py:520-522), so
+batch output matches single-episode `add_episode` semantics
+(SURVEY §3.1-3.2).
+
+One lineage: pages → episodes → extract (one pandas-UDF pass) →
+entity aggregation (1 shuffle) → alias dedup (LSH-keyed equi-joins +
+tiny CC fixpoint) → edge pointer rewrite (broadcast) → edge dedup
+(1 shuffle) → window invalidation (3 keyed window passes) → graph
+tables.
+"""
+
+from __future__ import annotations
+
+from datetime import datetime
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from kgspark.functions.embed import embedder_udf
+from kgspark.operators.dedup import (
+    alias_pairs,
+    apply_uuid_map_nodes,
+    build_uuid_map,
+    dedupe_edges,
+    resolve_edge_pointers,
+)
+from kgspark.operators.extract import (
+    build_entity_nodes,
+    pages_to_episodes,
+    run_extraction,
+    sha1_uuid,
+)
+from kgspark.operators.temporal import invalidate_edges
+
+
+def build_graph(
+    pages: DataFrame,
+    embed_dim: int = 64,
+    now: datetime | None = None,
+    dedup: bool = True,
+) -> dict[str, DataFrame]:
+    """pages(url, warc_ts, html, text, lang) → graph tables
+    {episodes, nodes, edges, mentions}."""
+    episodes, ext_nodes, ext_edges = run_extraction(pages_to_episodes(pages))
+
+    nodes0 = build_entity_nodes(ext_nodes, embed_dim)
+    if dedup:
+        pairs = alias_pairs(nodes0)
+        uuid_map = build_uuid_map(nodes0, pairs).persist()
+        nodes = apply_uuid_map_nodes(nodes0, uuid_map)
+        edges_resolved = resolve_edge_pointers(ext_edges, uuid_map)
+    else:
+        uuid_map = None
+        nodes = nodes0
+        edges_resolved = ext_edges
+
+    edges_deduped = dedupe_edges(edges_resolved)
+    edges_temporal = invalidate_edges(edges_deduped, now)
+
+    embed = embedder_udf(embed_dim)
+    edges = (
+        edges_temporal.withColumn("fact_embedding", embed(F.col("fact")))
+        .withColumn("name", F.col("pred"))
+        .withColumn(
+            "attributes",
+            F.create_map(F.lit("n_episodes"), F.size("episodes").cast("string")),
+        )
+        .select(
+            "uuid", "source_node_uuid", "target_node_uuid", "name", "fact",
+            "fact_embedding", "group_id", "episodes", "created_at", "expired_at",
+            "valid_at", "invalid_at", "attributes",
+        )
+    )
+
+    # MENTIONS (S5/edge_operations.py:45-62): distinct (episode, canonical entity)
+    mentions = ext_nodes.select(
+        "episode_uuid",
+        F.col("uuid").alias("entity_uuid"),
+        "group_id",
+        F.col("warc_ts").alias("created_at"),
+    )
+    if uuid_map is not None:
+        mentions = (
+            mentions.join(F.broadcast(uuid_map), mentions.entity_uuid == uuid_map.uuid, "left")
+            .withColumn("entity_uuid", F.coalesce("canonical_uuid", "entity_uuid"))
+            .drop("uuid", "canonical_uuid")
+        )
+    mentions = (
+        mentions.groupBy("episode_uuid", "entity_uuid", "group_id")
+        .agg(F.min("created_at").alias("created_at"))
+        .withColumn("uuid", sha1_uuid(F.lit("mention"), F.col("episode_uuid"), F.col("entity_uuid")))
+        .select("uuid", "episode_uuid", "entity_uuid", "group_id", "created_at")
+    )
+
+    # backfill episode.entity_edges (graphiti.py:421)
+    ep_edges = (
+        edges.select(F.col("uuid").alias("edge_uuid"), F.explode("episodes").alias("episode_uuid"))
+        .groupBy("episode_uuid")
+        .agg(F.array_sort(F.collect_set("edge_uuid")).alias("entity_edges"))
+    )
+    episodes = (
+        episodes.drop("entity_edges")
+        .join(ep_edges, episodes.uuid == ep_edges.episode_uuid, "left")
+        .drop("episode_uuid")
+        .withColumn("entity_edges", F.coalesce("entity_edges", F.array().cast("array<string>")))
+        .select(
+            "uuid", "name", "group_id", "source", "source_description", "content",
+            "valid_at", "created_at", "entity_edges", "summary_text", "url",
+            "warc_ts", "lang",
+        )
+    )
+
+    nodes_out = nodes.drop("norm_name")
+    return {"episodes": episodes, "nodes": nodes_out, "edges": edges, "mentions": mentions}

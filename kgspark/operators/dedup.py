@@ -103,12 +103,15 @@ def alias_pairs(nodes: DataFrame, jaccard_threshold: float = 0.55) -> DataFrame:
 
 
 # ------------------------------------------------------------------ D2/D4: CC
-def connected_components(pairs: DataFrame, max_iter: int = 10) -> DataFrame:
-    """Min-label propagation over the undirected alias-pair graph →
-    (uuid, component) — subsumes D4 transitive uuid-map compression
-    (bulk_utils.py:387-396): chains a→b→c converge to one component.
-    Components here are alias clusters (tiny), so convergence is fast;
-    localCheckpoint truncates lineage each round."""
+def connected_components(pairs: DataFrame, rounds: int = 4) -> DataFrame:
+    """Min-label propagation + pointer jumping over the undirected
+    alias-pair graph → (id, comp) — subsumes D4 transitive uuid-map
+    compression (bulk_utils.py:387-396): chains a→b→c converge to one
+    component. Each round does (1) adopt the min label among neighbors
+    and (2) jump: label ← label(label), doubling effective reach, so
+    `rounds` fixed rounds cover components of diameter ~2^rounds (alias
+    clusters are tiny — 16 is far beyond any real chain) with no
+    per-round convergence-count jobs. localCheckpoint truncates lineage."""
     edges = (
         pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
         .unionByName(pairs.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst")))
@@ -119,31 +122,25 @@ def connected_components(pairs: DataFrame, max_iter: int = 10) -> DataFrame:
         edges.select(F.col("src").alias("id"))
         .distinct()
         .withColumn("comp", F.col("id"))
-        .localCheckpoint()
     )
-    for _ in range(max_iter):
+    for i in range(rounds):
         nbr_min = (
             edges.join(labels, edges.dst == labels.id)
             .groupBy("src")
             .agg(F.min("comp").alias("nbr_comp"))
         )
-        new_labels = (
-            labels.join(nbr_min, labels.id == nbr_min.src, "left")
-            .select(
-                "id",
-                F.least(F.col("comp"), F.coalesce(F.col("nbr_comp"), F.col("comp"))).alias("comp"),
-            )
-        ).localCheckpoint()
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "id")
-            .where(F.col("n.comp") != F.col("o.comp"))
-            .limit(1)
-            .count()
+        labels = labels.join(nbr_min, labels.id == nbr_min.src, "left").select(
+            "id",
+            F.least(F.col("comp"), F.coalesce(F.col("nbr_comp"), F.col("comp"))).alias("comp"),
         )
-        labels = new_labels
-        if changed == 0:
-            break
+        # pointer jump: comp ← comp(comp)
+        jump = labels.select(F.col("id").alias("jid"), F.col("comp").alias("jcomp"))
+        labels = labels.join(jump, labels.comp == jump.jid, "left").select(
+            "id", F.coalesce("jcomp", "comp").alias("comp")
+        )
+        if i % 2 == 1:
+            labels = labels.localCheckpoint()
+    labels = labels.localCheckpoint()
     edges.unpersist()
     return labels
 

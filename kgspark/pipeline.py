@@ -45,7 +45,7 @@ def build_graph(
     {episodes, nodes, edges, mentions}."""
     episodes, ext_nodes, ext_edges = run_extraction(pages_to_episodes(pages))
 
-    nodes0 = build_entity_nodes(ext_nodes, embed_dim)
+    nodes0 = build_entity_nodes(ext_nodes, embed_dim).persist()
     if dedup:
         pairs = alias_pairs(nodes0)
         uuid_map = build_uuid_map(nodes0, pairs).persist()
@@ -57,7 +57,7 @@ def build_graph(
         edges_resolved = ext_edges
 
     edges_deduped = dedupe_edges(edges_resolved)
-    edges_temporal = invalidate_edges(edges_deduped, now)
+    edges_temporal = invalidate_edges(edges_deduped, now).persist()
 
     embed = embedder_udf(embed_dim)
     edges = (

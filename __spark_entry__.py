@@ -271,6 +271,155 @@ def q_sessionize(spark, sf):
     )
 
 
+def q_s7_point_lookup(spark, sf):
+    """S7: point lookups by key list (nodes.py:178-228) — IN-filter pushdown."""
+    from kgspark.sources.store import get_by_uuids  # same shape over uuid tables
+
+    return (
+        _events(spark, sf)
+        .where(F.col("event_id").isin([5, 50, 500, 5000, 9999]))
+        .select("event_id", "user_id", "event_type")
+    )
+
+
+def q_d1_first_wins(spark, sf):
+    """D1: exact-key dedup, first occurrence wins (bulk_utils.py:278-288)
+    over events keyed by (user_id, event_type)."""
+    w = Window.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
+    return (
+        _events(spark, sf)
+        .withColumn("rn", F.row_number().over(w))
+        .where("rn = 1")
+        .select("user_id", "event_type", F.col("event_id").alias("canonical_event_id"))
+    )
+
+
+def q_q5_bfs_2hop(spark, sf):
+    """Q5: bounded BFS (search_utils.py:272-324) — 2 hops over the
+    order↔part bipartite graph derived from lineitem, origin part 1."""
+    from kgspark.search.bfs import node_distances
+
+    li = spark.read.parquet(f"{sf}/lineitem.parquet")
+    edges = li.select(
+        F.concat(F.lit("e"), F.col("l_orderkey"), F.lit("_"), F.col("l_partkey")).alias("uuid"),
+        F.concat(F.lit("o"), F.col("l_orderkey")).alias("source_node_uuid"),
+        F.concat(F.lit("p"), F.col("l_partkey")).alias("target_node_uuid"),
+        F.lit("g").alias("group_id"),
+    )
+    return node_distances(edges, ["p1"], max_depth=2).select("uuid", "dist")
+
+
+def q_t4_point_in_time(spark, sf):
+    """T2+T4 composition: close event-type runs per user (T2), then filter
+    to facts valid at a point in time (search_helpers.py:53-59)."""
+    from kgspark.operators.temporal import _close_runs
+
+    at = "2024-01-10 00:00:00"
+    df = (
+        _events(spark, sf)
+        .select(
+            F.col("event_id").cast("string").alias("uuid"),
+            F.col("user_id").cast("string").alias("group_id"),
+            F.col("event_type"),
+            F.col("ts").alias("_t"),
+        )
+        .withColumn("invalid_at", F.lit(None).cast("timestamp"))
+        .withColumn("expired_at", F.lit(None).cast("timestamp"))
+    )
+    out = _close_runs(df, ["group_id"], F.col("event_type"), F.current_timestamp())
+    return (
+        out.where(
+            (F.col("_t") <= F.lit(at).cast("timestamp"))
+            & (F.col("invalid_at").isNull() | (F.col("invalid_at") > F.lit(at).cast("timestamp")))
+        )
+        .select(F.col("uuid").cast("long").alias("event_id"),
+                F.col("group_id").cast("long").alias("user_id"), "event_type")
+    )
+
+
+def q_jaccard_pairs(spark, sf):
+    """datapipe near-dup: exact word-3-gram Jaccard pairs ≥ 0.3 over
+    documents (oracle-checkable exact variant of MinHash-LSH dedup)."""
+    from kgspark.datapipe.dedupe import ngram_jaccard_pairs
+
+    docs = _documents(spark, sf)
+    pairs = ngram_jaccard_pairs(docs, "doc_id", "text", n=3, threshold=0.3)
+    return pairs.select("id_a", "id_b", F.round("jaccard", 4).alias("jaccard"))
+
+
+def q_lang_detect(spark, sf):
+    """datapipe text QA: stopword-marker language ID over documents."""
+    from kgspark.datapipe.textqa import detect_lang
+
+    return _documents(spark, sf).select(
+        "doc_id", detect_lang(F.col("text")).alias("detected_lang")
+    )
+
+
+def q_quality_score(spark, sf):
+    """datapipe text QA: composite quality score over documents."""
+    from kgspark.datapipe.textqa import quality_score
+
+    return quality_score(_documents(spark, sf), "text").select(
+        "doc_id", "n_tokens", "stopword_ratio", "punct_ratio", "distinct_ratio",
+        "quality",
+    )
+
+
+def q_c1_projection(spark, sf):
+    """C1: undirected neighbor projection with edge counts
+    (community_operations.py:28-76) over the order↔part graph."""
+    from kgspark.operators.community import build_projection
+
+    li = spark.read.parquet(f"{sf}/lineitem.parquet").where(F.col("l_orderkey") <= 1000)
+    edges = li.select(
+        F.concat(F.lit("o"), F.col("l_orderkey")).alias("source_node_uuid"),
+        F.concat(F.lit("p"), F.col("l_partkey")).alias("target_node_uuid"),
+        F.lit("g").alias("group_id"),
+    )
+    return build_projection(edges).select("node", "nbr", "edge_count")
+
+
+def q_minhash_lsh_pairs(spark, sf):
+    """datapipe MinHash-LSH near-dup (probabilistic candidate recall →
+    rows-only check; the exact-Jaccard variant above is the oracle)."""
+    from kgspark.datapipe.dedupe import minhash_lsh_pairs
+
+    return minhash_lsh_pairs(_documents(spark, sf), "doc_id", "text",
+                             threshold=0.3).select(
+        "id_a", "id_b", F.round("jaccard", 4).alias("jaccard"))
+
+
+def q_simhash_pairs(spark, sf):
+    """datapipe SimHash near-dup (xxhash64-based — no DuckDB equivalent →
+    rows-only check)."""
+    from kgspark.datapipe.dedupe import simhash_pairs
+
+    return simhash_pairs(_documents(spark, sf), "doc_id", "text", max_hamming=12)
+
+
+def q_knn_join(spark, sf):
+    """datapipe ANN k-NN join via hyperplane LSH buckets (rows-only)."""
+    from kgspark.datapipe.ann import knn_join
+
+    emb = _embeddings(spark, sf).limit(200)
+    return knn_join(emb, emb, "vec_id", "vec_id", "embedding", dim=64, k=3,
+                    n_planes=6)
+
+
+def q_c2_label_propagation(spark, sf):
+    """C2: community label propagation (iterative — rows-only check)."""
+    from kgspark.operators.community import build_projection, label_propagation
+
+    li = spark.read.parquet(f"{sf}/lineitem.parquet").where(F.col("l_orderkey") <= 200)
+    edges = li.select(
+        F.concat(F.lit("o"), F.col("l_orderkey")).alias("source_node_uuid"),
+        F.concat(F.lit("p"), F.col("l_partkey")).alias("target_node_uuid"),
+        F.lit("g").alias("group_id"),
+    )
+    return label_propagation(build_projection(edges), max_iter=5)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "s8_keyset_pagination": q_s8_keyset_pagination,
@@ -284,6 +433,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_token_stats": q_doc_token_stats,
         "exact_dedup": q_exact_dedup,
         "sessionize": q_sessionize,
+        "s7_point_lookup": q_s7_point_lookup,
+        "d1_first_wins": q_d1_first_wins,
+        "q5_bfs_2hop": q_q5_bfs_2hop,
+        "t4_point_in_time": q_t4_point_in_time,
+        "jaccard_pairs": q_jaccard_pairs,
+        "lang_detect": q_lang_detect,
+        "quality_score": q_quality_score,
+        "c1_projection": q_c1_projection,
+        # rows-only (non-SQL-expressible / probabilistic / xxhash-based):
+        "minhash_lsh_pairs": q_minhash_lsh_pairs,
+        "simhash_pairs": q_simhash_pairs,
+        "knn_join": q_knn_join,
+        "c2_label_propagation": q_c2_label_propagation,
     }
 
 
@@ -401,6 +563,139 @@ def oracle_sql() -> dict[str, str]:
             SELECT md5(text) AS text_hash, count(*) AS n, min(doc_id) AS canonical_doc_id
             FROM documents GROUP BY md5(text) HAVING count(*) >= 1
             ORDER BY canonical_doc_id
+        """,
+        "s7_point_lookup": """
+            SELECT event_id, user_id, event_type FROM events
+            WHERE event_id IN (5, 50, 500, 5000, 9999)
+        """,
+        "d1_first_wins": """
+            SELECT user_id, event_type, event_id AS canonical_event_id FROM (
+              SELECT user_id, event_type, event_id,
+                     row_number() OVER (PARTITION BY user_id, event_type
+                                        ORDER BY ts, event_id) AS rn
+              FROM events
+            ) WHERE rn = 1
+        """,
+        "q5_bfs_2hop": """
+            WITH o1 AS (
+              SELECT DISTINCT l_orderkey FROM lineitem WHERE l_partkey = 1
+            ), p2 AS (
+              SELECT DISTINCT l_partkey FROM lineitem JOIN o1 USING (l_orderkey)
+            )
+            SELECT 'p1' AS uuid, 0 AS dist
+            UNION ALL SELECT 'o' || l_orderkey, 1 FROM o1
+            UNION ALL SELECT 'p' || l_partkey, 2 FROM p2 WHERE l_partkey <> 1
+        """,
+        "t4_point_in_time": """
+            WITH marked AS (
+              SELECT event_id, user_id, event_type, ts,
+                     CASE WHEN lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                               IS DISTINCT FROM event_type THEN 1 ELSE 0 END AS chg
+              FROM events
+            ), runs AS (
+              SELECT *, sum(chg) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                       ROWS UNBOUNDED PRECEDING) AS run
+              FROM marked
+            ), run_bounds AS (
+              SELECT user_id, run, min(ts) AS run_start FROM runs GROUP BY user_id, run
+            ), nxt AS (
+              SELECT user_id, run,
+                     lead(run_start) OVER (PARTITION BY user_id ORDER BY run) AS next_start
+              FROM run_bounds
+            )
+            SELECT r.event_id, r.user_id, r.event_type
+            FROM runs r JOIN nxt n USING (user_id, run)
+            WHERE r.ts <= TIMESTAMP '2024-01-10 00:00:00'
+              AND (n.next_start IS NULL OR n.next_start > TIMESTAMP '2024-01-10 00:00:00')
+        """,
+        "jaccard_pairs": """
+            WITH toks AS (
+              SELECT doc_id,
+                     list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                                 x -> x <> '') AS t
+              FROM documents
+            ), sh AS (
+              SELECT doc_id,
+                     CASE WHEN len(t) >= 3 THEN
+                       list_distinct(list_transform(range(len(t) - 2),
+                                     i -> array_to_string(t[i+1:i+3], ' ')))
+                     ELSE [array_to_string(t, ' ')] END AS s
+              FROM toks
+            )
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                   round(len(list_intersect(a.s, b.s))::DOUBLE /
+                         (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))), 4)
+                     AS jaccard
+            FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+            WHERE len(list_intersect(a.s, b.s))::DOUBLE /
+                  (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) >= 0.3
+        """,
+        "lang_detect": """
+            WITH toks AS (
+              SELECT doc_id,
+                     list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                                 x -> x <> '') AS t
+              FROM documents
+            ), hits AS (
+              SELECT doc_id, lang, CASE lang
+                WHEN 'en' THEN len(list_filter(t, x -> list_contains(
+                  ['the','and','of','to','is','in','that','it','for','was'], x)))
+                WHEN 'de' THEN len(list_filter(t, x -> list_contains(
+                  ['der','die','das','und','ist','nicht','ein','mit','auf','zu'], x)))
+                WHEN 'fr' THEN len(list_filter(t, x -> list_contains(
+                  ['le','la','les','et','est','une','des','que','pour','dans'], x)))
+                WHEN 'es' THEN len(list_filter(t, x -> list_contains(
+                  ['el','la','los','las','es','una','del','que','por','para'], x)))
+                END AS h
+              FROM toks, (SELECT unnest(['en','de','fr','es']) AS lang)
+            ), best AS (
+              SELECT doc_id, lang, h,
+                     row_number() OVER (PARTITION BY doc_id
+                                        ORDER BY h DESC, lang DESC) AS rn
+              FROM hits
+            )
+            SELECT doc_id,
+                   CASE WHEN h > 0 THEN lang ELSE 'und' END AS detected_lang
+            FROM best WHERE rn = 1
+        """,
+        "quality_score": """
+            WITH f AS (
+              SELECT doc_id,
+                     length(text) AS n_chars,
+                     list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                                 x -> x <> '') AS t,
+                     length(text) - length(regexp_replace(text, '[^\\w\\s]', '', 'g'))
+                       AS n_punct
+              FROM documents
+            ), g AS (
+              SELECT doc_id, n_chars, len(t) AS n_tokens,
+                     round(CASE WHEN len(t) > 0 THEN
+                       len(list_filter(t, x -> list_contains(
+                         ['the','and','of','to','is','in','that','it','for','was'], x)))::DOUBLE
+                       / len(t) ELSE 0.0 END, 3) AS stopword_ratio,
+                     round(CASE WHEN n_chars > 0 THEN n_punct::DOUBLE / n_chars
+                           ELSE 0.0 END, 3) AS punct_ratio,
+                     round(CASE WHEN len(t) > 0 THEN
+                       len(list_distinct(t))::DOUBLE / len(t) ELSE 0.0 END, 3)
+                       AS distinct_ratio
+              FROM f
+            )
+            SELECT doc_id, n_tokens, stopword_ratio, punct_ratio, distinct_ratio,
+                   round(least(n_tokens / 100.0, 1.0) * 0.3
+                         + least(stopword_ratio * 4.0, 1.0) * 0.3
+                         + (1.0 - least(punct_ratio * 5.0, 1.0)) * 0.2
+                         + distinct_ratio * 0.2, 4) AS quality
+            FROM g
+        """,
+        "c1_projection": """
+            WITH e AS (
+              SELECT 'o' || l_orderkey AS src, 'p' || l_partkey AS dst
+              FROM lineitem WHERE l_orderkey <= 1000
+            ), und AS (
+              SELECT src AS node, dst AS nbr FROM e
+              UNION ALL SELECT dst, src FROM e
+            )
+            SELECT node, nbr, count(*) AS edge_count FROM und GROUP BY node, nbr
         """,
         "sessionize": """
             WITH marked AS (

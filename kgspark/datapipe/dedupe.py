@@ -1,0 +1,122 @@
+"""Document deduplication operators over a corpus DataFrame
+(id, text[, group]) — the training-data counterpart of the entity-dedup
+machinery (same MinHash/SimHash primitives, kgspark.functions.minhash).
+
+- exact:        hash-groupBy canonical pick (one shuffle, map-side combinable)
+- ngram_jaccard: exact word-n-gram Jaccard over candidate pairs
+- minhash_lsh:  banded MinHash candidate generation + exact-Jaccard verify
+                (scale path: shuffle is on band keys, never all-pairs)
+- simhash:      64-bit fingerprint + hamming-distance band join
+- embedding near-dup: cosine ≥ τ via sign-bucket LSH (datapipe.ann)
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from kgspark.functions.minhash import (
+    hamming64,
+    jaccard,
+    lsh_pairs,
+    simhash64,
+    word_shingles,
+)
+from kgspark.functions.text import tokenize
+
+
+def exact_dedup(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Canonical row per exact text duplicate class: (hash, n, canonical_id)."""
+    return (
+        df.groupBy(F.md5(F.col(text_col)).alias("text_hash"))
+        .agg(F.count("*").alias("n"), F.min(id_col).alias("canonical_id"))
+    )
+
+
+def exact_dedup_keep_first(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Rows surviving exact dedup (first id wins per duplicate class)."""
+    w = Window.partitionBy(F.md5(F.col(text_col))).orderBy(id_col)
+    return df.withColumn("_rn", F.row_number().over(w)).where("_rn = 1").drop("_rn")
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame, id_col: str, text_col: str, n: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """All near-dup pairs by exact word-n-gram Jaccard ≥ threshold.
+    EXACT all-pairs within the corpus — O(n²) compare, oracle-checkable;
+    use minhash_lsh_pairs at scale."""
+    sh = df.select(
+        F.col(id_col).alias("_id"),
+        word_shingles(tokenize(F.col(text_col)), n).alias("_sh"),
+    )
+    a, b = sh.alias("a"), sh.alias("b")
+    return (
+        a.join(b, F.col("a._id") < F.col("b._id"))
+        .withColumn("jaccard", jaccard(F.col("a._sh"), F.col("b._sh")))
+        .where(F.col("jaccard") >= threshold)
+        .select(F.col("a._id").alias("id_a"), F.col("b._id").alias("id_b"), "jaccard")
+    )
+
+
+def minhash_lsh_pairs(
+    df: DataFrame, id_col: str, text_col: str, n: int = 3,
+    threshold: float = 0.5, num_hashes: int = 128, bands: int = 32,
+) -> DataFrame:
+    """Near-dup pairs via banded MinHash over word n-gram shingles,
+    verified with exact Jaccard. At 10^12 docs the only shuffle is on
+    band bucket keys; oversized buckets (boilerplate shingle sets) can be
+    salted upstream. b=32/r=4 → P(catch j=0.5) ≈ 0.87, j=0.7 ≈ 0.999."""
+    sh = df.select(
+        F.col(id_col).alias("id"),
+        word_shingles(tokenize(F.col(text_col)), n).alias("sh"),
+    )
+    return lsh_pairs(sh, "id", "sh", None, num_hashes, bands, threshold).select(
+        "id_a", "id_b", "jaccard"
+    )
+
+
+def simhash_pairs(
+    df: DataFrame, id_col: str, text_col: str, max_hamming: int = 8,
+) -> DataFrame:
+    """Near-dup pairs by SimHash hamming distance ≤ max_hamming.
+    Candidate generation: split the 64-bit fingerprint into
+    (max_hamming/4 + 1) bands of 16 bits — two docs within hamming 8
+    share at least one exact 16-bit band w.h.p. (pigeonhole over 4 bands
+    guarantees it for ≤ 3 differing bands) — then verify exact distance."""
+    fp = df.select(
+        F.col(id_col).alias("_id"),
+        simhash64(tokenize(F.col(text_col))).alias("_fp"),
+    )
+    bands = 4
+    banded = fp.select(
+        "_id", "_fp",
+        F.explode(F.array(*[
+            F.concat_ws("|", F.lit(i),
+                        F.shiftrightunsigned(F.col("_fp"), 16 * i).bitwiseAND(F.lit(0xFFFF))
+                        .cast("string"))
+            for i in range(bands)
+        ])).alias("_band"),
+    )
+    a, b = banded.alias("a"), banded.alias("b")
+    return (
+        a.join(b, (F.col("a._band") == F.col("b._band")) & (F.col("a._id") < F.col("b._id")))
+        .select(F.col("a._id").alias("id_a"), F.col("b._id").alias("id_b"),
+                F.col("a._fp").alias("fp_a"), F.col("b._fp").alias("fp_b"))
+        .dropDuplicates(["id_a", "id_b"])
+        .withColumn("hamming", hamming64(F.col("fp_a"), F.col("fp_b")))
+        .where(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+    )
+
+
+def dedup_keep_canonical(df: DataFrame, id_col: str, pairs: DataFrame) -> DataFrame:
+    """Drop every row that near-dups an earlier (smaller-id) row:
+    survivors = rows never appearing as id_b in the pair list (after
+    component closure via connected_components for chains)."""
+    from kgspark.operators.dedup import connected_components
+
+    comp = connected_components(pairs)
+    canon = comp.groupBy("comp").agg(F.min("id").alias("keep"))
+    drop = comp.join(canon, "comp").where(F.col("id") != F.col("keep")).select("id")
+    return df.join(drop.withColumnRenamed("id", id_col), id_col, "left_anti")

@@ -92,10 +92,12 @@ def alias_pairs(nodes: DataFrame, jaccard_threshold: float = 0.55) -> DataFrame:
     w_sn = Window.partitionBy("id_b").orderBy(F.desc("w"), "id_a")
     surname = surname.withColumn("_rn", F.row_number().over(w_sn)).where("_rn = 1").drop("_rn", "w")
 
-    # 3. MinHash-LSH near-identical spellings
+    # 3. MinHash-LSH near-identical spellings (64 perms / 16 bands of 4 —
+    # permissive recall; exact-Jaccard verify inside lsh_pairs filters)
     sh = base.withColumn("shingles", char_shingles(F.col("norm_name"), 3))
     lsh = lsh_pairs(
         sh, id_col="uuid", shingle_col="shingles", group_col="group_id",
+        num_hashes=64, bands=16,
         jaccard_threshold=jaccard_threshold,
     ).select("id_a", "id_b")
 

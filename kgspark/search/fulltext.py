@@ -1,0 +1,112 @@
+"""Q3: BM25-style fulltext search in pure Spark SQL (SURVEY §2.5).
+
+Replaces the reference's Lucene fulltext indexes
+(graph_data_operations.py:73-82; queries search_utils.py:144-195 edge,
+327-367 node, 466-505 episode, 508-540 community) with materialized
+postings: tokenize the searchable text per table → explode →
+``postings(kind, term, doc_uuid, group_id, tf, doc_len)``. A query is
+then a broadcast-able IN-filter on term + join + groupBy sum — no UDF,
+full codegen, and the postings build is one shuffle per table.
+
+Semantics preserved:
+- searchable text per kind mirrors the reference's index fields:
+  edge: name + fact; node: name + summary; episode: content;
+  community: name (DDL graph_data_operations.py:73-82)
+- queries longer than MAX_QUERY_LENGTH=32 terms return empty
+  (search_utils.py:56, 70-72)
+- group_id prefilter inside the query (fulltext_query, search_utils.py:59-76)
+"""
+
+from __future__ import annotations
+
+import re
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from kgspark.functions.text import tokenize
+
+MAX_QUERY_LENGTH = 32  # reference search_utils.py:56
+BM25_K1 = 1.2
+BM25_B = 0.75
+
+_SEARCH_TEXT = {
+    "edge": lambda df: F.concat_ws(" ", df["name"], df["fact"]),
+    "node": lambda df: F.concat_ws(" ", df["name"], df["summary"]),
+    "episode": lambda df: df["content"],
+    "community": lambda df: df["name"],
+}
+
+
+def build_postings(graph: dict[str, DataFrame]) -> DataFrame:
+    """Materialize the postings table for all present kinds; one shuffle
+    per kind (groupBy (doc, term)), unioned."""
+    parts = []
+    kind_table = {"edge": "edges", "node": "nodes", "episode": "episodes",
+                  "community": "communities"}
+    for kind, table in kind_table.items():
+        if table not in graph:
+            continue
+        df = graph[table]
+        toks = df.select(
+            F.lit(kind).alias("kind"),
+            F.col("uuid").alias("doc_uuid"),
+            "group_id",
+            tokenize(_SEARCH_TEXT[kind](df)).alias("toks"),
+        ).withColumn("doc_len", F.size("toks"))
+        parts.append(
+            toks.select("kind", "doc_uuid", "group_id", "doc_len",
+                        F.explode("toks").alias("term"))
+            .groupBy("kind", "doc_uuid", "group_id", "doc_len", "term")
+            .agg(F.count("*").cast("int").alias("tf"))
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out.select("kind", "term", "doc_uuid", "group_id", "tf", "doc_len")
+
+
+def query_terms(query: str) -> list[str]:
+    return [t for t in re.split(r"[^a-z0-9]+", query.lower()) if t]
+
+
+def bm25_search(
+    spark: SparkSession,
+    postings: DataFrame,
+    kind: str,
+    query: str,
+    group_ids: list[str] | None = None,
+    limit: int = 20,
+) -> DataFrame:
+    """Top-`limit` (doc_uuid, score) for `query` within `kind` —
+    the reference fetches 2*limit per method upstream (search.py:181-195);
+    callers pass that in. Empty result for >32-term queries."""
+    terms = query_terms(query)
+    if not terms or len(terms) > MAX_QUERY_LENGTH:
+        return spark.createDataFrame([], "uuid string, score double")
+
+    scoped = postings.where(F.col("kind") == kind)
+    if group_ids:
+        scoped = scoped.where(F.col("group_id").isin(group_ids))
+
+    # corpus stats as a broadcast 1-row frame — single lazy plan, no collect
+    # (avg doc len from distinct docs, not postings rows)
+    stats = scoped.select("doc_uuid", "doc_len").distinct().agg(
+        F.count("*").cast("double").alias("n_docs"), F.avg("doc_len").alias("avg_len")
+    )
+    q = scoped.where(F.col("term").isin(terms))
+    dfreq = q.groupBy("term").agg(F.countDistinct("doc_uuid").alias("df"))
+    idf = F.log(F.lit(1.0) + (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5))
+    tf_norm = (F.col("tf") * (BM25_K1 + 1)) / (
+        F.col("tf") + BM25_K1 * (1 - BM25_B + BM25_B * F.col("doc_len") / F.col("avg_len"))
+    )
+    return (
+        q.join(F.broadcast(dfreq), "term")
+        .crossJoin(F.broadcast(stats))
+        .withColumn("contrib", idf * tf_norm)
+        .groupBy("doc_uuid")
+        .agg(F.sum("contrib").alias("score"))
+        .withColumnRenamed("doc_uuid", "uuid")
+        .orderBy(F.desc("score"), "uuid")
+        .limit(limit)
+    )

@@ -1,0 +1,144 @@
+"""datapipe operator tests: dedup, ANN, text QA, multimodal plumbing."""
+
+import pandas as pd
+from pyspark.sql import functions as F
+
+from kgspark.datapipe.ann import brute_force_topk, knn_join, lsh_topk
+from kgspark.datapipe.dedupe import (
+    dedup_keep_canonical,
+    exact_dedup_keep_first,
+    minhash_lsh_pairs,
+    ngram_jaccard_pairs,
+    simhash_pairs,
+)
+from kgspark.datapipe.multimodal import audio_features, image_features, sample_frames
+from kgspark.datapipe.textqa import (
+    bpe_ish_token_count,
+    detect_lang,
+    fingerprint64,
+    quality_score,
+    token_count,
+)
+
+DOCS = [
+    (0, "the quick brown fox jumps over the lazy dog and runs far away today"),
+    (1, "the quick brown fox jumps over the lazy dog and runs far away tonight"),
+    (2, "completely different text about spark sql engines and query planning"),
+    (3, "the quick brown fox jumps over the lazy dog and runs far away today"),
+]
+
+
+def _docs(spark):
+    return spark.createDataFrame(pd.DataFrame(DOCS, columns=["id", "text"]))
+
+
+def test_exact_dedup_keep_first(spark):
+    out = exact_dedup_keep_first(_docs(spark), "id", "text")
+    assert sorted(r["id"] for r in out.collect()) == [0, 1, 2]
+
+
+def test_ngram_jaccard_pairs(spark):
+    pairs = {(r["id_a"], r["id_b"]) for r in
+             ngram_jaccard_pairs(_docs(spark), "id", "text", threshold=0.5).collect()}
+    assert (0, 1) in pairs and (0, 3) in pairs
+    assert not any(2 in p for p in pairs)
+
+
+def test_minhash_lsh_matches_near_dups(spark):
+    pairs = {(r["id_a"], r["id_b"]) for r in
+             minhash_lsh_pairs(_docs(spark), "id", "text", threshold=0.5).collect()}
+    assert (0, 3) in pairs  # exact dup always caught
+    assert not any(2 in p for p in pairs)
+
+
+def test_simhash_pairs(spark):
+    pairs = {(r["id_a"], r["id_b"]) for r in
+             simhash_pairs(_docs(spark), "id", "text", max_hamming=10).collect()}
+    assert (0, 3) in pairs
+    assert (2, 3) not in pairs and (1, 2) not in pairs and (0, 2) not in pairs
+
+
+def test_dedup_keep_canonical(spark):
+    pairs = ngram_jaccard_pairs(_docs(spark), "id", "text", threshold=0.5)
+    kept = sorted(r["id"] for r in
+                  dedup_keep_canonical(_docs(spark), "id", pairs).collect())
+    assert kept == [0, 2]  # 1 and 3 fold into 0's component
+
+
+def test_ann_brute_force_vs_lsh(spark):
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    q = emb.where(F.col("vec_id") == 0).collect()[0]["embedding"]
+    bf = [r["vec_id"] for r in
+          brute_force_topk(emb.where("vec_id <> 0"), "vec_id", "embedding", q, 10).collect()]
+    ann = [r["vec_id"] for r in
+           lsh_topk(emb.where("vec_id <> 0"), "vec_id", "embedding", q,
+                    dim=64, k=10, n_planes=4, n_tables=8).collect()]
+    # deterministic (seeded hyperplanes): recall@10 is 9/10 on this corpus
+    assert len(set(bf) & set(ann)) >= 7
+
+
+def test_knn_join(spark):
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet").limit(100)
+    out = knn_join(emb, emb, "vec_id", "vec_id", "embedding", dim=64, k=3, n_planes=6)
+    rows = out.collect()
+    assert rows
+    assert all(1 <= r["rank"] <= 3 for r in rows)
+    assert all(r["lid"] != r["rid"] for r in rows)
+
+
+def test_lang_detect_and_tokens(spark):
+    df = spark.createDataFrame(pd.DataFrame({
+        "id": [1, 2, 3],
+        "text": ["the cat is in the house and it is warm",
+                 "der hund ist nicht in das haus und die katze",
+                 "zzz qqq"],
+    }))
+    rows = {r["id"]: r for r in df.select(
+        "id", detect_lang(F.col("text")).alias("lang"),
+        token_count(F.col("text")).alias("n"),
+        bpe_ish_token_count(F.col("text")).alias("nb"),
+    ).collect()}
+    assert rows[1]["lang"] == "en"
+    assert rows[2]["lang"] == "de"
+    assert rows[3]["lang"] == "und"
+    assert rows[1]["n"] == 9
+    assert rows[1]["nb"] >= rows[1]["n"]
+
+
+def test_quality_score_orders_garbage_below_prose(spark):
+    df = spark.createDataFrame(pd.DataFrame({
+        "id": [1, 2],
+        "text": ["The report covers the quarterly results and it is clear that "
+                 "the team made progress on the roadmap for the product.",
+                 "!!! ??? ### $$$ %%% ^^^ &&& *** ((( )))"],
+    }))
+    rows = {r["id"]: r["quality"] for r in quality_score(df, "text").collect()}
+    assert rows[1] > rows[2]
+
+
+def test_fingerprint_order_sensitive(spark):
+    df = spark.createDataFrame(pd.DataFrame({
+        "id": [1, 2],
+        "text": ["alpha beta gamma delta epsilon zeta",
+                 "zeta epsilon delta gamma beta alpha"],
+    }))
+    fps = [r["fp"] for r in df.select(fingerprint64(F.col("text")).alias("fp")).collect()]
+    assert fps[0] != fps[1]
+
+
+def test_multimodal_plumbing(spark):
+    df = spark.createDataFrame(pd.DataFrame({
+        "id": [1, 2],
+        "payload": [b"fake-image-bytes-1", b"fake-image-bytes-2"],
+    }))
+    img = image_features(df, "id", "payload").collect()
+    assert len(img) == 2 and all(r["width"] == 32 for r in img)
+    assert img[0]["phash"] != img[1]["phash"]
+    aud = audio_features(df, "id", "payload").collect()
+    assert len(aud) == 2 and all(r["rms"] > 0 for r in aud)
+    frames = sample_frames(df, "id", "payload", every_n=5, max_frames=3).collect()
+    assert len(frames) == 6
+    assert sorted({r["frame_idx"] for r in frames}) == [0, 5, 10]
+    # determinism: same payload → same features
+    img2 = image_features(df, "id", "payload").collect()
+    assert [r["phash"] for r in img] == [r["phash"] for r in img2]

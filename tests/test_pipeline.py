@@ -4,7 +4,6 @@ P/R ≥ 0.95 on the golden narrative set."""
 
 from datetime import datetime
 
-import pytest
 from pyspark.sql import functions as F
 
 from kgspark.functions.text import html_to_text
@@ -12,13 +11,6 @@ from kgspark.pipeline import build_graph
 from kgspark.synth import golden_pages, synth_pages
 
 NOW = datetime(2024, 6, 1)
-
-
-@pytest.fixture(scope="module")
-def graph(spark):
-    pages = synth_pages(spark, n_docs=60, n_groups=4, seed=42)
-    g = build_graph(pages, now=NOW)
-    return {k: df.persist() for k, df in g.items()}
 
 
 def _golden_nodes(graph):

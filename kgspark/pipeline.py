@@ -44,7 +44,21 @@ def build_graph(
     """pages(url, warc_ts, html, text, lang) → graph tables
     {episodes, nodes, edges, mentions}."""
     episodes, ext_nodes, ext_edges = run_extraction(pages_to_episodes(pages))
+    return assemble_graph(episodes, ext_nodes, ext_edges, embed_dim, now, dedup)
 
+
+def assemble_graph(
+    episodes: DataFrame,
+    ext_nodes: DataFrame,
+    ext_edges: DataFrame,
+    embed_dim: int = 64,
+    now: datetime | None = None,
+    dedup: bool = True,
+) -> dict[str, DataFrame]:
+    """Extraction outputs → graph tables. Split from ``build_graph`` so
+    incremental ingest (kgspark.streaming) can re-assemble affected
+    group partitions from stored per-episode extraction rows without
+    re-running the extraction UDF."""
     nodes0 = build_entity_nodes(ext_nodes, embed_dim).persist()
     if dedup:
         pairs = alias_pairs(nodes0)

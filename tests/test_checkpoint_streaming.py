@@ -1,0 +1,130 @@
+"""Checkpoint/resume and incremental/streaming ingest tests.
+
+Invariants:
+- checkpointed partition-at-a-time run == single-shot build_graph
+- crash + resume completes only missing parts, same final tables
+- N-batch incremental ingest == single-shot build_graph
+- Structured Streaming (availableNow) drain == single-shot build_graph
+"""
+
+import os
+from datetime import datetime
+
+import pytest
+from pyspark.sql import functions as F
+
+from kgspark.checkpoint import CheckpointedPipeline
+from kgspark.pipeline import build_graph
+from kgspark.sources.store import GraphStore
+from kgspark.streaming import ingest_pages, stream_ingest
+from kgspark.synth import synth_pages
+
+NOW = datetime(2024, 6, 1)
+
+N_DOCS, N_GROUPS = 48, 6
+
+
+def _edge_key_rows(edges):
+    return sorted(
+        (r["group_id"], r["source_node_uuid"], r["name"], r["target_node_uuid"],
+         str(r["valid_at"]), str(r["invalid_at"]), str(r["expired_at"] is not None),
+         tuple(r["episodes"]))
+        for r in edges.select(
+            "group_id", "source_node_uuid", "name", "target_node_uuid",
+            "valid_at", "invalid_at", "expired_at", "episodes").collect()
+    )
+
+
+def _node_key_rows(nodes):
+    return sorted(
+        (r["uuid"], r["name"], r["group_id"], str(r["created_at"]),
+         r["attributes"]["mention_count"])
+        for r in nodes.select("uuid", "name", "group_id", "created_at",
+                              "attributes").collect()
+    )
+
+
+@pytest.fixture(scope="module")
+def oneshot(spark):
+    pages = synth_pages(spark, n_docs=N_DOCS, n_groups=N_GROUPS, seed=7)
+    g = build_graph(pages, now=NOW)
+    return {
+        "edges": _edge_key_rows(g["edges"]),
+        "nodes": _node_key_rows(g["nodes"]),
+        "n_mentions": g["mentions"].count(),
+        "n_episodes": g["episodes"].count(),
+    }
+
+
+def test_checkpoint_run_matches_oneshot(spark, tmp_path, oneshot):
+    pages = synth_pages(spark, n_docs=N_DOCS, n_groups=N_GROUPS, seed=7)
+    cp = CheckpointedPipeline(spark, str(tmp_path / "store"), n_parts=4)
+    m = cp.run(pages, now=NOW, run_id="r1")
+    assert len(m["parts"]) + len(m["skipped"]) == 4
+    assert _edge_key_rows(cp.table("edges")) == oneshot["edges"]
+    assert _node_key_rows(cp.table("nodes")) == oneshot["nodes"]
+    assert cp.table("mentions").count() == oneshot["n_mentions"]
+    # lineage rows carry extraction metrics
+    lin = cp.lineage("r1")
+    rows = {r["part"]: r for r in lin.collect()}
+    # n_docs synthetic + the golden fixture pages synth_pages appends
+    assert sum(r["n_pages"] for r in rows.values()) == oneshot["n_episodes"]
+    assert all(r["status"] == "done" for r in rows.values())
+    assert all(r["n_pages"] == 0 or r["n_edges"] > 0 for r in rows.values())
+
+
+def test_checkpoint_crash_resume(spark, tmp_path, oneshot):
+    pages = synth_pages(spark, n_docs=N_DOCS, n_groups=N_GROUPS, seed=7)
+    root = str(tmp_path / "store2")
+    cp = CheckpointedPipeline(spark, root, n_parts=4)
+    with pytest.raises(RuntimeError, match="injected failure"):
+        cp.run(pages, now=NOW, run_id="r1", fail_on_part=2)
+    done_before = set(cp.completed_parts("r1"))
+    assert done_before and 2 not in done_before and 3 not in done_before
+    # resume: already-done parts are skipped, remaining complete
+    m = cp.run(pages, now=NOW, run_id="r1")
+    assert set(m["skipped"]) == done_before
+    assert set(m["parts"]) == {0, 1, 2, 3} - done_before
+    assert _edge_key_rows(cp.table("edges")) == oneshot["edges"]
+    assert _node_key_rows(cp.table("nodes")) == oneshot["nodes"]
+    # second resume: everything skipped (input unchanged → fingerprints match)
+    m2 = cp.run(pages, now=NOW, run_id="r1")
+    assert not m2["parts"] and len(m2["skipped"]) == 4
+
+
+def test_incremental_batches_match_oneshot(spark, tmp_path, oneshot):
+    pages = synth_pages(spark, n_docs=N_DOCS, n_groups=N_GROUPS, seed=7).persist()
+    store = GraphStore(str(tmp_path / "inc"))
+    thirds = [
+        pages.where(F.pmod(F.xxhash64("url"), F.lit(3)) == i) for i in range(3)
+    ]
+    for b in thirds:
+        ingest_pages(spark, store, b, now=NOW)
+    assert _edge_key_rows(store.read(spark, "edges")) == oneshot["edges"]
+    assert _node_key_rows(store.read(spark, "nodes")) == oneshot["nodes"]
+    assert store.read(spark, "mentions").count() == oneshot["n_mentions"]
+    assert store.read(spark, "episodes").count() == oneshot["n_episodes"]
+    # redelivery of an already-ingested batch is a no-op (effectively-once)
+    counts = ingest_pages(spark, store, thirds[0], now=NOW)
+    assert counts["new_episodes"] == 0
+    assert _edge_key_rows(store.read(spark, "edges")) == oneshot["edges"]
+    pages.unpersist()
+
+
+def test_stream_ingest_available_now(spark, tmp_path, oneshot):
+    pages = synth_pages(spark, n_docs=N_DOCS, n_groups=N_GROUPS, seed=7)
+    in_dir = str(tmp_path / "in")
+    # two files → at least one micro-batch each with maxFilesPerTrigger=1
+    for i in range(2):
+        pages.where(F.pmod(F.xxhash64("url"), F.lit(2)) == i).coalesce(1) \
+            .write.mode("append").parquet(in_dir)
+    store_root = str(tmp_path / "stream_store")
+    q = stream_ingest(
+        spark, in_dir, store_root, str(tmp_path / "ckpt"),
+        now=NOW, max_files_per_trigger=1,
+    )
+    assert q.lastProgress is not None
+    store = GraphStore(store_root)
+    assert _edge_key_rows(store.read(spark, "edges")) == oneshot["edges"]
+    assert _node_key_rows(store.read(spark, "nodes")) == oneshot["nodes"]
+    assert os.path.isdir(str(tmp_path / "ckpt"))

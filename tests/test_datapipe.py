@@ -101,7 +101,7 @@ def test_lang_detect_and_tokens(spark):
     assert rows[1]["lang"] == "en"
     assert rows[2]["lang"] == "de"
     assert rows[3]["lang"] == "und"
-    assert rows[1]["n"] == 9
+    assert rows[1]["n"] == 10
     assert rows[1]["nb"] >= rows[1]["n"]
 
 

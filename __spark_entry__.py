@@ -420,6 +420,232 @@ def q_c2_label_propagation(spark, sf):
     return label_propagation(build_projection(edges), max_iter=5)
 
 
+def q_q6_hybrid(spark, sf):
+    """Q6: hybrid fulltext ∪ cosine retrieval fused with RRF
+    (search_utils.py:588-659) — doc_id and vec_id are aligned ids."""
+    bm25 = q_q3_bm25(spark, sf).withColumn(
+        "rank", F.row_number().over(Window.orderBy(F.desc("score"), "doc_id")))
+    cos = q_q4_cosine_topk(spark, sf).withColumn(
+        "rank", F.row_number().over(Window.orderBy(F.desc("cos"), "vec_id"))
+    ).withColumnRenamed("vec_id", "doc_id")
+    unioned = bm25.select("doc_id", "rank").unionByName(cos.select("doc_id", "rank"))
+    return (
+        unioned.groupBy("doc_id")
+        .agg(F.round(F.sum(1.0 / (F.col("rank") + 1)), 5).alias("rrf"))
+        .orderBy(F.desc("rrf"), "doc_id")
+        .limit(20)
+    )
+
+
+def q_q9_node_distance(spark, sf):
+    """Q9: node-distance rerank (search_utils.py:901-943): BFS distance
+    from center 'p1' over the order↔part graph; 1/dist score, center
+    itself scored 1/0.1, ascending distance order."""
+    from kgspark.search.rerank import node_distance_rerank
+
+    li = spark.read.parquet(f"{sf}/lineitem.parquet").where(F.col("l_orderkey") <= 300)
+    edges = li.select(
+        F.concat(F.lit("e"), F.col("l_orderkey"), F.lit("_"), F.col("l_partkey")).alias("uuid"),
+        F.concat(F.lit("o"), F.col("l_orderkey")).alias("source_node_uuid"),
+        F.concat(F.lit("p"), F.col("l_partkey")).alias("target_node_uuid"),
+        F.lit("g").alias("group_id"),
+    )
+    # center = smallest part key present in the slice (exists at every sf)
+    center = "p" + str(li.agg(F.min("l_partkey")).collect()[0][0])
+    cands = edges.select(F.col("source_node_uuid").alias("uuid")).union(
+        edges.select(F.col("target_node_uuid").alias("uuid"))).distinct()
+    out = node_distance_rerank(cands, edges, center, min_score=0.0, max_depth=2)
+    return out.select("uuid", F.round("score", 4).alias("score"))
+
+
+def q_q10_mentions_rerank(spark, sf):
+    """Q10: episode-mentions rerank (search_utils.py:946-973) over events:
+    candidates = users who clicked; score = total event count — sorted
+    ASCENDING (the reference's `.sort(key=scores)` quirk, :971)."""
+    ev = _events(spark, sf)
+    cands = ev.where(F.col("event_type") == "click").select(
+        F.col("user_id").alias("uuid")).distinct()
+    counts = ev.groupBy(F.col("user_id").alias("uuid")).agg(
+        F.count("*").alias("score"))
+    return (
+        cands.join(counts, "uuid", "left")
+        .fillna(0, subset=["score"])
+        .withColumn("score", F.col("score").cast("double"))
+        .orderBy("score", "uuid")  # ascending quirk
+        .select(F.col("uuid").alias("user_id"), "score")
+    )
+
+
+def q_q11_cross_encoder(spark, sf):
+    """Q11/E7: deterministic cross-encoder rerank (lexical-overlap F1
+    pandas UDF standing in for the model; cross_encoder/client.py:20-41)."""
+    from kgspark.search.rerank import lexical_overlap_score
+
+    query = "the spark query engine"
+    return (
+        _documents(spark, sf)
+        .withColumn("score",
+                    F.round(lexical_overlap_score(F.lit(query), F.col("text")), 4))
+        .where(F.col("score") > 0)
+        .orderBy(F.desc("score"), "doc_id")
+        .limit(20)
+        .select("doc_id", "score")
+    )
+
+
+def q_q12_cnf_filters(spark, sf):
+    """Q12/T4: CNF date filters (search_filters.py:63-169) — OR of AND
+    ranges compiled to one Column predicate."""
+    from datetime import datetime
+
+    from kgspark.search.filters import (
+        ComparisonOperator as Op,
+        DateFilter,
+        date_filter_column,
+    )
+
+    cnf = [
+        [DateFilter(datetime(2024, 1, 3), Op.greater_than_equal),
+         DateFilter(datetime(2024, 1, 6), Op.less_than)],
+        [DateFilter(datetime(2024, 1, 10), Op.greater_than_equal),
+         DateFilter(datetime(2024, 1, 12), Op.less_than)],
+    ]
+    return (
+        _events(spark, sf)
+        .where(date_filter_column(cnf, "ts"))
+        .select("event_id", "user_id", "event_type")
+    )
+
+
+def q_d4_alias_chain(spark, sf):
+    """D4: transitive uuid-map compression (bulk_utils.py:387-396) as
+    connected components over 100-long alias chains built from event ids;
+    closed-form oracle comp = floor(id/100)*100."""
+    from kgspark.operators.dedup import connected_components
+
+    ids = _events(spark, sf).where(F.col("event_id") < 2000)
+    pairs = ids.where(F.col("event_id") % 100 != 0).select(
+        F.col("event_id").alias("id_a"),
+        (F.col("event_id") - 1).alias("id_b"),
+    )
+    return connected_components(pairs, rounds=8).select(
+        F.col("id").cast("long").alias("id"),
+        F.col("comp").cast("long").alias("comp"),
+    )
+
+
+def q_t1_invalidation_candidates(spark, sf):
+    """T1: edge-invalidation candidates (search_utils.py:819-883): for
+    each new fact, existing facts sharing either 'endpoint' (same user,
+    or same type on the same day), top-2 by closest value."""
+    ev = _events(spark, sf).withColumn("day", F.to_date("ts"))
+    new = ev.where(F.col("event_id") >= 9900).select(
+        F.col("event_id").alias("new_id"), F.col("user_id").alias("nu"),
+        F.col("event_type").alias("nt"), F.col("day").alias("nd"),
+        F.col("value").alias("nv"),
+    )
+    old = ev.where(F.col("event_id") < 9900).select(
+        F.col("event_id").alias("cand_id"), F.col("user_id").alias("ou"),
+        F.col("event_type").alias("ot"), F.col("day").alias("od"),
+        F.col("value").alias("ov"),
+    )
+    by_user = new.join(old, new.nu == old.ou)
+    by_type_day = new.join(old, (new.nt == old.ot) & (new.nd == old.od))
+    cands = by_user.unionByName(by_type_day).dropDuplicates(["new_id", "cand_id"])
+    w = Window.partitionBy("new_id").orderBy(F.abs(F.col("nv") - F.col("ov")), "cand_id")
+    return (
+        cands.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= 2)
+        .select("new_id", "cand_id", "rank")
+    )
+
+
+def q_bpe_token_count(spark, sf):
+    """Text analysis: BPE-ish regex-segmentation token estimate vs plain
+    whitespace count over documents (datapipe.textqa)."""
+    from kgspark.datapipe.textqa import bpe_ish_token_count, token_count
+
+    return _documents(spark, sf).select(
+        "doc_id",
+        token_count(F.col("text")).alias("n_ws"),
+        bpe_ish_token_count(F.col("text")).alias("n_bpe"),
+    )
+
+
+def q_embedding_neardup(spark, sf):
+    """datapipe: exact embedding-cosine near-dup pairs (cos ≥ 0.35 — the
+    synthetic vectors are near-orthogonal, so 0.35 is the near-dup band)
+    over the first 300 vectors — all-pairs reference for the LSH path."""
+    from kgspark.datapipe.dedupe import embedding_neardup_pairs
+
+    emb = _embeddings(spark, sf).where(F.col("vec_id") < 300)
+    return embedding_neardup_pairs(emb, "vec_id", "embedding", threshold=0.35)
+
+
+def q_embedding_neardup_lsh(spark, sf):
+    """datapipe: hyperplane-LSH embedding near-dup (scale path — shuffle
+    on bucket keys only; rows-only check, recall tested vs exact in
+    tests/test_datapipe.py)."""
+    from kgspark.datapipe.dedupe import embedding_neardup_pairs_lsh
+
+    emb = _embeddings(spark, sf).where(F.col("vec_id") < 300)
+    return embedding_neardup_pairs_lsh(emb, "vec_id", "embedding", dim=64,
+                                       threshold=0.35, n_planes=3, n_tables=12)
+
+
+def q_q8_mmr(spark, sf):
+    """Q8: maximal-marginal-relevance rerank (search_utils.py:976-1012):
+    score = λ·cos(q,c) + (λ-1)·max cos(c, other candidates), λ=0.5."""
+    from kgspark.search.rerank import mmr
+
+    emb = _embeddings(spark, sf).where(F.col("vec_id") < 40).select(
+        F.col("vec_id").cast("string").alias("uuid"),
+        F.col("embedding").cast("array<double>").alias("embedding"),
+    )
+    qvec = [float(x) for x in
+            _embeddings(spark, sf).where(F.col("vec_id") == 0)
+            .collect()[0]["embedding"]]
+    out = mmr(emb, qvec, "embedding", lambda_=0.5)
+    return out.select(F.col("uuid").cast("long").alias("vec_id"),
+                      F.round("score", 4).alias("score"))
+
+
+def q_ivf_ann(spark, sf):
+    """datapipe ANN: IVF cell-probe top-k (deterministic pivot centroids,
+    xxhash64-seeded — rows-only check; recall vs brute force is tested in
+    tests/test_datapipe.py)."""
+    from kgspark.datapipe.ann import ivf_topk
+
+    emb = _embeddings(spark, sf)
+    q = emb.where(F.col("vec_id") == 0).collect()[0]["embedding"]
+    return ivf_topk(emb.where("vec_id <> 0"), "vec_id", "embedding",
+                    [float(x) for x in q], n_centroids=16, n_probe=4, k=10)
+
+
+def q_s10_reverse_lookup(spark, sf):
+    """S10: episodes-mentioning-entity reverse lookup (nodes.py:271-294)
+    shape: orders per customer of nation 3 via equi-join."""
+    cust = spark.read.parquet(f"{sf}/customer.parquet").where(F.col("c_nationkey") == 3)
+    orders = spark.read.parquet(f"{sf}/orders.parquet")
+    return (
+        orders.join(cust, orders.o_custkey == cust.c_custkey)
+        .groupBy("c_custkey")
+        .agg(F.count("*").alias("n_orders"),
+             F.round(F.sum("o_totalprice"), 2).alias("total_spend"))
+        .orderBy("c_custkey")
+    )
+
+
+def q_fingerprint(spark, sf):
+    """datapipe: order-sensitive rolling-hash document fingerprint
+    (xxhash64 chain — rows-only check; order sensitivity tested in
+    tests/test_datapipe.py)."""
+    from kgspark.datapipe.textqa import fingerprint64
+
+    return _documents(spark, sf).select(
+        "doc_id", fingerprint64(F.col("text")).alias("fp"))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "s8_keyset_pagination": q_s8_keyset_pagination,
@@ -441,11 +667,25 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lang_detect": q_lang_detect,
         "quality_score": q_quality_score,
         "c1_projection": q_c1_projection,
+        "q6_hybrid": q_q6_hybrid,
+        "q8_mmr": q_q8_mmr,
+        "q9_node_distance": q_q9_node_distance,
+        "q10_mentions_rerank": q_q10_mentions_rerank,
+        "q11_cross_encoder": q_q11_cross_encoder,
+        "q12_cnf_filters": q_q12_cnf_filters,
+        "d4_alias_chain": q_d4_alias_chain,
+        "t1_invalidation_candidates": q_t1_invalidation_candidates,
+        "bpe_token_count": q_bpe_token_count,
+        "embedding_neardup": q_embedding_neardup,
+        "s10_reverse_lookup": q_s10_reverse_lookup,
         # rows-only (non-SQL-expressible / probabilistic / xxhash-based):
         "minhash_lsh_pairs": q_minhash_lsh_pairs,
         "simhash_pairs": q_simhash_pairs,
         "knn_join": q_knn_join,
         "c2_label_propagation": q_c2_label_propagation,
+        "embedding_neardup_lsh": q_embedding_neardup_lsh,
+        "ivf_ann": q_ivf_ann,
+        "fingerprint": q_fingerprint,
     }
 
 
@@ -712,5 +952,148 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT user_id, max(sess_id) AS n_sessions, count(*) AS n_events
             FROM sess GROUP BY user_id ORDER BY user_id
+        """,
+        "q6_hybrid": f"""
+            WITH toks AS (
+              SELECT doc_id, t.term FROM documents,
+                UNNEST(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                                   x -> x <> '')) AS t(term)
+            ), doclen AS (
+              SELECT doc_id, count(*) AS doc_len FROM toks GROUP BY doc_id
+            ), stats AS (
+              SELECT count(*)::DOUBLE AS n_docs, avg(doc_len) AS avg_len FROM doclen
+            ), tf AS (
+              SELECT doc_id, term, count(*) AS tf FROM toks
+              WHERE term IN ({bm25_terms}) GROUP BY doc_id, term
+            ), dfreq AS (
+              SELECT term, count(DISTINCT doc_id) AS df FROM tf GROUP BY term
+            ), bm AS (
+              SELECT tf.doc_id,
+                     round(sum(
+                       ln(1.0 + (stats.n_docs - dfreq.df + 0.5)/(dfreq.df + 0.5)) *
+                       (tf.tf * ({BM25_K1} + 1)) /
+                       (tf.tf + {BM25_K1} * (1 - {BM25_B} + {BM25_B} * doclen.doc_len / stats.avg_len))
+                     ), 3) AS score
+              FROM tf JOIN dfreq USING (term) JOIN doclen USING (doc_id), stats
+              GROUP BY tf.doc_id ORDER BY score DESC, tf.doc_id LIMIT 20
+            ), bmr AS (
+              SELECT doc_id, row_number() OVER (ORDER BY score DESC, doc_id) AS rank FROM bm
+            ), q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0
+            ), cs AS (
+              SELECT vec_id AS doc_id,
+                     round(list_cosine_similarity(embedding::DOUBLE[], q.qv::DOUBLE[]), 4) AS cos
+              FROM embeddings, q WHERE vec_id <> 0
+              ORDER BY cos DESC, doc_id LIMIT 20
+            ), csr AS (
+              SELECT doc_id, row_number() OVER (ORDER BY cos DESC, doc_id) AS rank FROM cs
+            ), u AS (
+              SELECT doc_id, rank FROM bmr UNION ALL SELECT doc_id, rank FROM csr
+            )
+            SELECT doc_id, round(sum(1.0/(rank+1)), 5) AS rrf
+            FROM u GROUP BY doc_id ORDER BY rrf DESC, doc_id LIMIT 20
+        """,
+        "q8_mmr": """
+            WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb
+                       FROM embeddings WHERE vec_id < 40),
+            q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0),
+            mo AS (SELECT a.vec_id, max(list_cosine_similarity(a.emb, b.emb)) AS max_other
+                   FROM e a JOIN e b ON a.vec_id <> b.vec_id GROUP BY a.vec_id)
+            SELECT e.vec_id,
+                   round(0.5*list_cosine_similarity(e.emb, q.qv) - 0.5*mo.max_other, 4) AS score
+            FROM e JOIN mo USING (vec_id), q
+        """,
+        "q9_node_distance": """
+            WITH c AS (
+              SELECT 'p' || min(l_partkey) AS ctr FROM lineitem WHERE l_orderkey <= 300
+            ), e AS (
+              SELECT DISTINCT 'o' || l_orderkey AS src, 'p' || l_partkey AS dst
+              FROM lineitem WHERE l_orderkey <= 300
+            ), o1 AS (SELECT DISTINCT src FROM e, c WHERE dst = c.ctr
+            ), p2 AS (
+              SELECT DISTINCT e.dst FROM e JOIN o1 USING (src), c WHERE e.dst <> c.ctr
+            ), d AS (
+              SELECT ctr AS uuid, 0.1 AS dist FROM c
+              UNION ALL SELECT src, 1.0 FROM o1
+              UNION ALL SELECT dst, 2.0 FROM p2
+            )
+            SELECT uuid, round(1.0/dist, 4) AS score FROM d
+        """,
+        "q10_mentions_rerank": """
+            WITH cands AS (SELECT DISTINCT user_id FROM events WHERE event_type = 'click'),
+            counts AS (SELECT user_id, count(*) AS c FROM events GROUP BY user_id)
+            SELECT cands.user_id, coalesce(counts.c, 0)::DOUBLE AS score
+            FROM cands LEFT JOIN counts USING (user_id)
+            ORDER BY score, user_id
+        """,
+        "q11_cross_encoder": """
+            WITH qs AS (SELECT ['the','spark','query','engine'] AS q),
+            p AS (
+              SELECT doc_id,
+                     list_distinct(list_filter(
+                       string_split_regex(lower(text), '\\s+'), x -> x <> '')) AS toks
+              FROM documents
+            ), scored AS (
+              SELECT doc_id,
+                     len(list_intersect(toks, q))::DOUBLE / len(toks) AS prec,
+                     len(list_intersect(toks, q))::DOUBLE / len(q) AS rec
+              FROM p, qs WHERE len(toks) > 0
+            )
+            SELECT doc_id,
+                   round(2 * prec * rec / (prec + rec), 4) AS score
+            FROM scored WHERE prec + rec > 0 AND round(2*prec*rec/(prec+rec), 4) > 0
+            ORDER BY score DESC, doc_id LIMIT 20
+        """,
+        "q12_cnf_filters": """
+            SELECT event_id, user_id, event_type FROM events
+            WHERE (ts >= TIMESTAMP '2024-01-03' AND ts < TIMESTAMP '2024-01-06')
+               OR (ts >= TIMESTAMP '2024-01-10' AND ts < TIMESTAMP '2024-01-12')
+        """,
+        "d4_alias_chain": """
+            SELECT event_id AS id, ((event_id // 100) * 100)::BIGINT AS comp
+            FROM events WHERE event_id < 2000
+        """,
+        "t1_invalidation_candidates": """
+            WITH ev AS (SELECT event_id, user_id, event_type,
+                               CAST(ts AS DATE) AS day, value FROM events),
+            new AS (SELECT * FROM ev WHERE event_id >= 9900),
+            old AS (SELECT * FROM ev WHERE event_id < 9900),
+            cands AS (
+              SELECT n.event_id AS new_id, o.event_id AS cand_id,
+                     n.value AS nv, o.value AS ov
+              FROM new n JOIN old o ON n.user_id = o.user_id
+              UNION
+              SELECT n.event_id, o.event_id, n.value, o.value
+              FROM new n JOIN old o ON n.event_type = o.event_type AND n.day = o.day
+            )
+            SELECT new_id, cand_id, rank FROM (
+              SELECT new_id, cand_id,
+                     row_number() OVER (PARTITION BY new_id
+                                        ORDER BY abs(nv - ov), cand_id) AS rank
+              FROM cands
+            ) WHERE rank <= 2
+        """,
+        "bpe_token_count": """
+            SELECT doc_id,
+                   len(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                                   x -> x <> '')) AS n_ws,
+                   len(list_filter(string_split_regex(
+                         regexp_replace(text,
+                           '([a-z])([A-Z])|(\\d+)|([^\\w\\s]+)', '\\1 \\2\\3\\4 ', 'g'),
+                         '\\s+'), x -> x <> '')) AS n_bpe
+            FROM documents
+        """,
+        "embedding_neardup": """
+            WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb
+                       FROM embeddings WHERE vec_id < 300)
+            SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+                   round(list_cosine_similarity(a.emb, b.emb), 4) AS cos
+            FROM e a JOIN e b ON a.vec_id < b.vec_id
+            WHERE round(list_cosine_similarity(a.emb, b.emb), 4) >= 0.35
+        """,
+        "s10_reverse_lookup": """
+            SELECT c_custkey, count(*) AS n_orders,
+                   round(sum(o_totalprice), 2) AS total_spend
+            FROM orders JOIN customer ON o_custkey = c_custkey
+            WHERE c_nationkey = 3 GROUP BY c_custkey ORDER BY c_custkey
         """,
     }

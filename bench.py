@@ -46,9 +46,14 @@ def main() -> None:
     timings: dict[str, float] = {}
     total_start = time.perf_counter()
 
-    # ---------------- pipeline: the headline construction job
+    # ---------------- pipeline: the headline construction job.
+    # n_groups depends only on the doc count (NOT on CPUS) so runs at
+    # different parallelism levels process the identical input — the
+    # scaling-efficiency comparison requires it.
+    n_groups = int(os.environ.get("SPARK_GRAFT_PIPE_GROUPS",
+                                  str(max(16, PIPE_DOCS // 250))))
     t0 = time.perf_counter()
-    pages = synth_pages(spark, n_docs=PIPE_DOCS, n_groups=max(16, CPUS * 4),
+    pages = synth_pages(spark, n_docs=PIPE_DOCS, n_groups=n_groups,
                         seed=42, partitions=CPUS * 2)
     g = build_graph(pages, now=datetime(2024, 6, 1))
     n_edges = g["edges"].count()

@@ -81,6 +81,65 @@ def lsh_topk(
     return brute_force_topk(cands, id_col, emb_col, query_vec, k)
 
 
+def ivf_assign(emb: Column, centroids: list[list[float]]) -> Column:
+    """Nearest-centroid id for an embedding (argmax cosine against the
+    broadcast centroid list — a pure SQL expression, no UDF)."""
+    scored = [
+        F.struct(
+            cosine_sim(emb, F.array(*[F.lit(float(x)) for x in c])).alias("cos"),
+            F.lit(i).alias("cid"),
+        )
+        for i, c in enumerate(centroids)
+    ]
+    return F.array_max(F.array(*scored)).getField("cid")
+
+
+def ivf_centroids(
+    df: DataFrame, id_col: str, emb_col: str, n_centroids: int = 16,
+) -> list[list[float]]:
+    """Deterministic pivot centroids: the n rows with the smallest
+    xxhash64(id) (a seeded sample standing in for k-means; at scale a
+    few Lloyd iterations over a sample refine these — each iteration is
+    one groupBy(cid).agg(avg per dim))."""
+    rows = (
+        df.select(F.col(emb_col).cast("array<double>").alias("e"),
+                  F.xxhash64(F.col(id_col).cast("string")).alias("h"))
+        .orderBy("h")
+        .limit(n_centroids)
+        .collect()
+    )
+    return [list(r["e"]) for r in rows]
+
+
+def ivf_topk(
+    df: DataFrame, id_col: str, emb_col: str, query_vec: list[float],
+    n_centroids: int = 16, n_probe: int = 4, k: int = 10,
+    centroids: list[list[float]] | None = None,
+) -> DataFrame:
+    """IVF-flavoured ANN: partition the corpus by nearest centroid, probe
+    only the n_probe centroids closest to the query, rescore exactly.
+    Scan cost ≈ corpus * n_probe / n_centroids; the assignment column is
+    precomputable/persistable so repeated probes touch only their cells
+    (at scale: partition the table by cid for partition pruning)."""
+    import math
+
+    cents = centroids if centroids is not None else ivf_centroids(
+        df, id_col, emb_col, n_centroids)
+
+    def _cos(c):
+        num = sum(a * b for a, b in zip(c, query_vec))
+        den = math.sqrt(sum(a * a for a in c)) * math.sqrt(
+            sum(b * b for b in query_vec)) or 1.0
+        return num / den
+
+    probe = sorted(range(len(cents)), key=lambda i: (-_cos(cents[i]), i))[:n_probe]
+    assigned = df.withColumn(
+        "_cid", ivf_assign(F.col(emb_col).cast("array<double>"), cents)
+    )
+    cell = assigned.where(F.col("_cid").isin(probe))
+    return brute_force_topk(cell, id_col, emb_col, query_vec, k)
+
+
 def knn_join(
     left: DataFrame, right: DataFrame, left_id: str, right_id: str,
     emb_col: str, dim: int, k: int = 5, n_planes: int = 8,

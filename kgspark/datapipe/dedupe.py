@@ -110,6 +110,54 @@ def simhash_pairs(
     )
 
 
+def embedding_neardup_pairs(
+    df: DataFrame, id_col: str, emb_col: str, threshold: float = 0.9,
+) -> DataFrame:
+    """EXACT embedding-cosine near-dup pairs (cos ≥ threshold). All-pairs
+    compare — oracle-checkable reference; use the LSH variant at scale."""
+    from kgspark.datapipe.ann import cosine_sim
+
+    e = df.select(F.col(id_col).alias("_id"),
+                  F.col(emb_col).cast("array<double>").alias("_e"))
+    a, b = e.alias("a"), e.alias("b")
+    return (
+        a.join(b, F.col("a._id") < F.col("b._id"))
+        .withColumn("cos", F.round(cosine_sim(F.col("a._e"), F.col("b._e")), 4))
+        .where(F.col("cos") >= threshold)
+        .select(F.col("a._id").alias("id_a"), F.col("b._id").alias("id_b"), "cos")
+    )
+
+
+def embedding_neardup_pairs_lsh(
+    df: DataFrame, id_col: str, emb_col: str, dim: int,
+    threshold: float = 0.9, n_planes: int = 8, n_tables: int = 4,
+) -> DataFrame:
+    """Scale path: candidates share a random-hyperplane bucket in any of
+    n_tables tables (shuffle on bucket keys only — never all-pairs),
+    then exact-cosine verify. Recall for cos≥0.9 pairs with 8 planes ×
+    4 tables ≈ 1-(1-0.76)^4 ≈ 0.997."""
+    from kgspark.datapipe.ann import cosine_sim, hyperplane_keys
+
+    e = df.select(F.col(id_col).alias("_id"),
+                  F.col(emb_col).cast("array<double>").alias("_e"))
+    cands = None
+    for t in range(n_tables):
+        k = e.withColumn("_bk", hyperplane_keys(F.col("_e"), dim, n_planes,
+                                                seed=11 + t))
+        a, b = k.alias("a"), k.alias("b")
+        p = a.join(
+            b, (F.col("a._bk") == F.col("b._bk")) & (F.col("a._id") < F.col("b._id"))
+        ).select(F.col("a._id").alias("id_a"), F.col("b._id").alias("id_b"),
+                 F.col("a._e").alias("ea"), F.col("b._e").alias("eb"))
+        cands = p if cands is None else cands.unionByName(p)
+    return (
+        cands.dropDuplicates(["id_a", "id_b"])
+        .withColumn("cos", F.round(cosine_sim(F.col("ea"), F.col("eb")), 4))
+        .where(F.col("cos") >= threshold)
+        .select("id_a", "id_b", "cos")
+    )
+
+
 def dedup_keep_canonical(df: DataFrame, id_col: str, pairs: DataFrame) -> DataFrame:
     """Drop every row that near-dups an earlier (smaller-id) row:
     survivors = rows never appearing as id_b in the pair list (after

@@ -19,6 +19,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 from kgspark.functions.minhash import char_shingles, lsh_pairs
 from kgspark.functions.text import acronym, last_token, norm_name
@@ -105,7 +106,9 @@ def alias_pairs(nodes: DataFrame, jaccard_threshold: float = 0.55) -> DataFrame:
 
 
 # ------------------------------------------------------------------ D2/D4: CC
-def connected_components(pairs: DataFrame, rounds: int = 4) -> DataFrame:
+def connected_components(
+    pairs: DataFrame, rounds: int = 4, driver_threshold: int = 1_000_000
+) -> DataFrame:
     """Min-label propagation + pointer jumping over the undirected
     alias-pair graph → (id, comp) — subsumes D4 transitive uuid-map
     compression (bulk_utils.py:387-396): chains a→b→c converge to one
@@ -113,13 +116,52 @@ def connected_components(pairs: DataFrame, rounds: int = 4) -> DataFrame:
     and (2) jump: label ← label(label), doubling effective reach, so
     `rounds` fixed rounds cover components of diameter ~2^rounds (alias
     clusters are tiny — 16 is far beyond any real chain) with no
-    per-round convergence-count jobs. localCheckpoint truncates lineage."""
+    per-round convergence-count jobs. localCheckpoint truncates lineage.
+
+    Small-graph fast path: below ``driver_threshold`` edges the pair
+    list fits trivially in driver memory and a union-find beats ~30
+    tiny shuffle stages by ~100× wall-clock; the distributed loop is
+    the ≥10^9-edge scale path. Both produce comp = min(id) per
+    component, so the switch is invisible to callers."""
     edges = (
         pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
         .unionByName(pairs.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst")))
         .distinct()
         .persist()
     )
+    n_edges = edges.count()
+    spark = pairs.sparkSession
+    id_type = edges.schema["src"].dataType
+    if n_edges == 0:
+        edges.unpersist()
+        return spark.createDataFrame(
+            [], T.StructType([T.StructField("id", id_type),
+                              T.StructField("comp", id_type)]))
+    if n_edges <= driver_threshold:
+        parent: dict = {}
+
+        def find(x):
+            r = x
+            while parent[r] != r:
+                r = parent[r]
+            while parent[x] != r:  # path compression
+                parent[x], x = r, parent[x]
+            return r
+
+        for row in edges.collect():
+            a, b = row["src"], row["dst"]
+            parent.setdefault(a, a)
+            parent.setdefault(b, b)
+            ra, rb = find(a), find(b)
+            if ra != rb:  # min value becomes the root
+                if rb < ra:
+                    ra, rb = rb, ra
+                parent[rb] = ra
+        out = [(k, find(k)) for k in parent]
+        edges.unpersist()
+        return spark.createDataFrame(
+            out, T.StructType([T.StructField("id", id_type),
+                               T.StructField("comp", id_type)]))
     labels = (
         edges.select(F.col("src").alias("id"))
         .distinct()

@@ -73,12 +73,15 @@ def _close_runs(df: DataFrame, part_cols: list, value_col, now_col, t_col="_t") 
         .when(F.lag(value_col).over(w) != value_col, F.lit(1))
         .otherwise(F.lit(0))
     )
-    df = df.withColumn("_run", F.sum(changed).over(
-        w.rowsBetween(Window.unboundedPreceding, 0)))
-    runs = df.groupBy(*part_cols, "_run").agg(F.min(t_col).alias("_run_start"))
-    w_runs = Window.partitionBy(*part_cols).orderBy("_run")
-    runs = runs.withColumn("_next_start", F.lead("_run_start").over(w_runs)).drop("_run_start")
-    out = df.join(runs, [*part_cols, "_run"], "left")
+    # Runs are contiguous in the sort, so the start of the next differing
+    # run = the earliest boundary row (_chg=1) strictly after this row.
+    # Both windows share one partitioning+sort → a single shuffle, no
+    # groupBy/re-join (this pass used to cost 3 shuffles).
+    out = df.withColumn("_chg", changed).withColumn(
+        "_next_start",
+        F.min(F.when(F.col("_chg") == 1, F.col(t_col))).over(
+            w.rowsBetween(1, Window.unboundedFollowing)),
+    )
     tightened = F.when(
         F.col("_next_start").isNotNull()
         & (F.col("invalid_at").isNull() | (F.col("_next_start") < F.col("invalid_at"))),
@@ -88,7 +91,7 @@ def _close_runs(df: DataFrame, part_cols: list, value_col, now_col, t_col="_t") 
         out.withColumn("expired_at",
                        F.when(tightened.isNotNull(), now_col).otherwise(F.col("expired_at")))
         .withColumn("invalid_at", F.coalesce(tightened, F.col("invalid_at")))
-        .drop("_run", "_next_start")
+        .drop("_chg", "_next_start")
     )
 
 

@@ -86,6 +86,40 @@ def test_knn_join(spark):
     assert all(r["lid"] != r["rid"] for r in rows)
 
 
+def test_ivf_topk_recall(spark):
+    from kgspark.datapipe.ann import ivf_topk
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    q = emb.where(F.col("vec_id") == 0).collect()[0]["embedding"]
+    bf = [r["vec_id"] for r in
+          brute_force_topk(emb.where("vec_id <> 0"), "vec_id", "embedding",
+                           [float(x) for x in q], 10).collect()]
+    ivf = [r["vec_id"] for r in
+           ivf_topk(emb.where("vec_id <> 0"), "vec_id", "embedding",
+                    [float(x) for x in q], n_centroids=8, n_probe=4, k=10).collect()]
+    assert len(ivf) == 10
+    assert len(set(bf) & set(ivf)) >= 5  # deterministic on this corpus
+
+
+def test_embedding_neardup_lsh_recall(spark):
+    from kgspark.datapipe.dedupe import (
+        embedding_neardup_pairs,
+        embedding_neardup_pairs_lsh,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet") \
+        .where(F.col("vec_id") < 200)
+    exact = {(r["id_a"], r["id_b"])
+             for r in embedding_neardup_pairs(emb, "vec_id", "embedding", 0.35).collect()}
+    lsh = {(r["id_a"], r["id_b"])
+           for r in embedding_neardup_pairs_lsh(emb, "vec_id", "embedding", dim=64,
+                                                threshold=0.35, n_planes=3,
+                                                n_tables=12).collect()}
+    assert lsh <= exact          # verify step guarantees no false positives
+    assert exact                 # the 0.35 band is non-empty on this corpus
+    assert len(lsh & exact) / len(exact) >= 0.7  # LSH recall
+
+
 def test_lang_detect_and_tokens(spark):
     df = spark.createDataFrame(pd.DataFrame({
         "id": [1, 2, 3],

@@ -622,6 +622,38 @@ def q_ivf_ann(spark, sf):
                     [float(x) for x in q], n_centroids=16, n_probe=4, k=10)
 
 
+def q_d12_edge_type_map(spark, sf):
+    """D12: edge-type constraint map (edge_operations.py:299-320) —
+    (src_label, tgt_label) -> allowed predicates, as a broadcast lookup.
+    Graph derived from lineitem: Order --SHIPMODE--> Part(Brand)."""
+    from kgspark.operators.dedup import apply_edge_type_map
+
+    li = spark.read.parquet(f"{sf}/lineitem.parquet").where(F.col("l_orderkey") <= 500)
+    part = spark.read.parquet(f"{sf}/part.parquet")
+    nodes = part.select(
+        F.concat(F.lit("p"), F.col("p_partkey")).alias("uuid"),
+        F.array(F.lit("Entity"), F.col("p_brand")).alias("labels"),
+    ).unionByName(
+        li.select(F.concat(F.lit("o"), F.col("l_orderkey")).alias("uuid"))
+        .distinct()
+        .withColumn("labels", F.array(F.lit("Entity"), F.lit("Order")))
+    )
+    edges = li.select(
+        F.concat(F.lit("e"), F.col("l_orderkey"), F.lit("_"),
+                 F.col("l_linenumber")).alias("uuid"),
+        F.concat(F.lit("o"), F.col("l_orderkey")).alias("source_node_uuid"),
+        F.concat(F.lit("p"), F.col("l_partkey")).alias("target_node_uuid"),
+        F.concat(F.lit("FLAG_"), F.col("l_returnflag")).alias("pred"),
+    )
+    out = apply_edge_type_map(
+        edges, nodes,
+        {("Order", "Brand#13"): ["FLAG_A", "FLAG_N"],
+         ("Order", "Brand#7"): ["FLAG_R"]},
+        default_allow=False,
+    )
+    return out.select("uuid", "source_node_uuid", "target_node_uuid", "pred")
+
+
 def q_s10_reverse_lookup(spark, sf):
     """S10: episodes-mentioning-entity reverse lookup (nodes.py:271-294)
     shape: orders per customer of nation 3 via equi-join."""
@@ -678,6 +710,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bpe_token_count": q_bpe_token_count,
         "embedding_neardup": q_embedding_neardup,
         "s10_reverse_lookup": q_s10_reverse_lookup,
+        "d12_edge_type_map": q_d12_edge_type_map,
         # rows-only (non-SQL-expressible / probabilistic / xxhash-based):
         "minhash_lsh_pairs": q_minhash_lsh_pairs,
         "simhash_pairs": q_simhash_pairs,
@@ -1095,5 +1128,15 @@ def oracle_sql() -> dict[str, str]:
                    round(sum(o_totalprice), 2) AS total_spend
             FROM orders JOIN customer ON o_custkey = c_custkey
             WHERE c_nationkey = 3 GROUP BY c_custkey ORDER BY c_custkey
+        """,
+        "d12_edge_type_map": """
+            SELECT 'e' || l_orderkey || '_' || l_linenumber AS uuid,
+                   'o' || l_orderkey AS source_node_uuid,
+                   'p' || l_partkey AS target_node_uuid,
+                   'FLAG_' || l_returnflag AS pred
+            FROM lineitem JOIN part ON l_partkey = p_partkey
+            WHERE l_orderkey <= 500
+              AND ((p_brand = 'Brand#13' AND l_returnflag IN ('A', 'N'))
+                OR (p_brand = 'Brand#7' AND l_returnflag = 'R'))
         """,
     }

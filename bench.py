@@ -40,8 +40,15 @@ def main() -> None:
     from kgspark.session import get_spark
     from kgspark.synth import synth_pages
 
+    # Partition counts are sized by DATA VOLUME, not core count (the
+    # standard ~100MB-per-partition rule). Tying them to CPUS would (a)
+    # give different physical plans per cluster size and (b) multiply
+    # the environment's per-task overhead by core count, corrupting the
+    # N-vs-4N scaling comparison. With a fixed task count, extra cores
+    # just run more waves in parallel.
+    n_parts = max(32, PIPE_DOCS // 10_000)
     spark = get_spark("kgspark-bench", master=f"local[{CPUS}]",
-                      shuffle_partitions=CPUS)
+                      shuffle_partitions=n_parts)
 
     timings: dict[str, float] = {}
     total_start = time.perf_counter()
@@ -53,8 +60,11 @@ def main() -> None:
     n_groups = int(os.environ.get("SPARK_GRAFT_PIPE_GROUPS",
                                   str(max(16, PIPE_DOCS // 250))))
     t0 = time.perf_counter()
+    # input (map-side) partitions 2× the shuffle count: the pandas-UDF
+    # extraction stage carries most of the Python CPU — shorter map tasks
+    # cut the straggler tail that idles cores at the end of each wave.
     pages = synth_pages(spark, n_docs=PIPE_DOCS, n_groups=n_groups,
-                        seed=42, partitions=CPUS * 2)
+                        seed=42, partitions=n_parts * 2)
     g = build_graph(pages, now=datetime(2024, 6, 1))
     n_edges = g["edges"].count()
     n_nodes = g["nodes"].count()
@@ -63,7 +73,9 @@ def main() -> None:
 
     # ---------------- operator/retrieval queries at the sf dir
     qs = entry_mod.queries()
-    for name in BENCH_QUERIES:
+    if os.environ.get("SPARK_GRAFT_SKIP_QUERIES"):
+        qs = {}
+    for name in (BENCH_QUERIES if qs else []):
         fn = qs[name]
         t0 = time.perf_counter()
         df = fn(spark, SF_DIR)

@@ -1,0 +1,261 @@
+"""KGSpark — the user-facing facade, mirroring the reference's
+``Graphiti`` class surface (graphiti_core/graphiti.py) over the Spark
+engine. A user of the reference maps 1:1:
+
+| reference (graphiti.py)            | here                         |
+|------------------------------------|------------------------------|
+| Graphiti(uri, user, password)      | KGSpark(spark, store_root)   |
+| add_episode(...) :267-484          | add_episode(...)             |
+| add_episode_bulk(...) :487-598     | add_episode_bulk(...)        |
+| add_triplet(...) :736-774          | add_triplet(...)             |
+| search(...) :624-681               | search(...)                  |
+| search_(...) :697-721              | search_(...)                 |
+| retrieve_episodes(...) :222-264    | retrieve_episodes(...)       |
+| get_nodes_and_edges_by_episode     | get_nodes_and_edges_by_episode |
+| build_communities(...) :600-622    | build_communities()          |
+| remove_episode(...) :776-805       | remove_episode(...)          |
+| build_indices_and_constraints      | (not needed — see SURVEY S11)|
+
+Ingest goes through the incremental engine (kgspark.streaming), so every
+call converges to the same tables a one-shot batch build would produce —
+including T2 invalidation, which the reference's own bulk path skips.
+"""
+
+from __future__ import annotations
+
+from datetime import datetime
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from kgspark.functions.text import norm_name as _norm_name_col
+from kgspark.operators.community import build_communities as _build_communities
+from kgspark.operators.community import remove_communities as _remove_communities
+from kgspark.schemas import PAGES
+from kgspark.search.filters import SearchFilters
+from kgspark.search.fulltext import build_postings
+from kgspark.search.recipes import (
+    EDGE_HYBRID_SEARCH_NODE_DISTANCE,
+    EDGE_HYBRID_SEARCH_RRF,
+)
+from kgspark.search.search import SearchResults
+from kgspark.search.search import get_nodes_and_edges_by_episode as _by_episode
+from kgspark.search.search import search as _search
+from kgspark.sources.store import GraphStore
+from kgspark.streaming.incremental import ingest_pages, reassemble_groups
+
+GRAPH_TABLES = ("episodes", "nodes", "edges", "mentions")
+
+
+class KGSpark:
+    def __init__(self, spark: SparkSession, store_root: str, embed_dim: int = 64):
+        self.spark = spark
+        self.store = GraphStore(store_root)
+        self.embed_dim = embed_dim
+        self._postings: DataFrame | None = None
+
+    # ------------------------------------------------------------ ingest
+    def add_pages(self, pages: DataFrame, now: datetime | None = None) -> dict:
+        """Bulk ingest of Common-Crawl-style pages (the input_hint shape);
+        incremental — only new urls are extracted, affected groups
+        re-assembled."""
+        counts = ingest_pages(self.spark, self.store, pages, now=now,
+                              embed_dim=self.embed_dim)
+        self._postings = None
+        return counts
+
+    def add_episode(
+        self,
+        name: str,
+        episode_body: str,
+        source_description: str = "",
+        reference_time: datetime | None = None,
+        group_id: str = "default",
+        now: datetime | None = None,
+    ) -> dict:
+        """Point update (reference add_episode): one episode wrapped as a
+        one-row pages batch. url scheme https://<group_id>/<name> keeps
+        the group derivation identical to the page path."""
+        ts = reference_time or datetime.utcnow()
+        row = pd.DataFrame([{
+            "url": f"https://{group_id}/{name}",
+            "warc_ts": ts, "html": None, "text": episode_body, "lang": "en",
+        }])
+        return self.add_pages(self.spark.createDataFrame(row, PAGES), now=now)
+
+    def add_episode_bulk(
+        self, episodes: list[dict], group_id: str = "default",
+        now: datetime | None = None,
+    ) -> dict:
+        """Bulk episodes (reference RawEpisode list, bulk_utils.py:67-72):
+        dicts with name, content, reference_time[, source_description]."""
+        rows = pd.DataFrame([{
+            "url": f"https://{group_id}/{e['name']}",
+            "warc_ts": e.get("reference_time") or datetime.utcnow(),
+            "html": None, "text": e["content"], "lang": e.get("lang", "en"),
+        } for e in episodes])
+        return self.add_pages(self.spark.createDataFrame(rows, PAGES), now=now)
+
+    def add_triplet(
+        self,
+        subj_name: str,
+        pred: str,
+        obj_name: str,
+        fact: str | None = None,
+        group_id: str = "default",
+        valid_at: datetime | None = None,
+        now: datetime | None = None,
+    ) -> dict:
+        """Manual fact insert (reference graphiti.py:736-774): append
+        extraction-shaped rows for a synthetic episode, then re-assemble
+        the group — the triplet flows through the same dedup/invalidation
+        machinery as extracted facts."""
+        ts = valid_at or datetime.utcnow()
+        fact = fact or f"{subj_name} {pred.lower().replace('_', ' ')} {obj_name}"
+        import hashlib
+
+        key = f"{subj_name}|{pred}|{obj_name}|{ts.isoformat()}"
+        ep_name = "triplet-" + hashlib.sha1(key.encode()).hexdigest()[:10]
+        url = f"https://{group_id}/{ep_name}"
+
+        ep = self.spark.createDataFrame(pd.DataFrame([{
+            "url": url, "warc_ts": ts, "lang": "en",
+            "content": fact, "group_id": group_id,
+        }]), "url string, warc_ts timestamp, lang string, content string, group_id string") \
+            .withColumn("uuid", F.sha1(F.concat_ws(":", F.lit("episode"), F.col("url")))) \
+            .withColumn("source", F.lit("text")) \
+            .withColumn("name", F.lit(ep_name)) \
+            .withColumn("source_description", F.lit("manual triplet")) \
+            .withColumn("valid_at", F.col("warc_ts")) \
+            .withColumn("created_at", F.col("warc_ts")) \
+            .withColumn("summary_text", F.col("content"))
+        ep = ep.localCheckpoint()
+        ep_uuid = ep.collect()[0]["uuid"]
+
+        nodes = self.spark.createDataFrame(pd.DataFrame([
+            {"episode_uuid": ep_uuid, "group_id": group_id, "warc_ts": ts,
+             "name": n, "entity_type": "Entity"} for n in (subj_name, obj_name)
+        ]), "episode_uuid string, group_id string, warc_ts timestamp, "
+            "name string, entity_type string") \
+            .withColumn("norm_name", _norm_name_col(F.col("name"))) \
+            .withColumn("uuid", F.sha1(F.concat_ws(
+                ":", F.lit("node"), F.col("group_id"), F.col("norm_name"))))
+
+        edges = self.spark.createDataFrame(pd.DataFrame([{
+            "episode_uuid": ep_uuid, "group_id": group_id, "warc_ts": ts,
+            "idx": 0, "subj_name": subj_name, "pred": pred, "obj_name": obj_name,
+            "fact": fact, "valid_at": valid_at, "invalid_at": None,
+        }]), "episode_uuid string, group_id string, warc_ts timestamp, idx int, "
+            "subj_name string, pred string, obj_name string, fact string, "
+            "valid_at timestamp, invalid_at timestamp") \
+            .withColumn("source_node_uuid", F.sha1(F.concat_ws(
+                ":", F.lit("node"), F.col("group_id"), _norm_name_col(F.col("subj_name"))))) \
+            .withColumn("target_node_uuid", F.sha1(F.concat_ws(
+                ":", F.lit("node"), F.col("group_id"), _norm_name_col(F.col("obj_name"))))) \
+            .withColumn("uuid", F.sha1(F.concat_ws(
+                ":", F.lit("edge"), F.col("group_id"), F.col("source_node_uuid"),
+                F.col("pred"), F.col("target_node_uuid"), F.col("episode_uuid"),
+                F.col("idx").cast("string"))))
+
+        self.store.write("raw_episodes", ep, mode="append", bucket_key="uuid")
+        self.store.write("ext_nodes", nodes, mode="append", bucket_key="uuid")
+        self.store.write("ext_edges", edges, mode="append", bucket_key="uuid")
+        groups = self.spark.createDataFrame([(group_id,)], "group_id string")
+        counts = reassemble_groups(self.spark, self.store, groups, now=now,
+                                   embed_dim=self.embed_dim)
+        self._postings = None
+        return counts
+
+    # ------------------------------------------------------------ read state
+    def graph(self) -> dict[str, DataFrame]:
+        g = {t: self.store.read(self.spark, t) for t in GRAPH_TABLES
+             if self.store.exists(t)}
+        for t in ("communities", "community_members"):
+            if self.store.exists(t):
+                g[t] = self.store.read(self.spark, t)
+        return g
+
+    def postings(self) -> DataFrame:
+        if self._postings is None:
+            self._postings = build_postings(self.graph()).persist()
+        return self._postings
+
+    # ------------------------------------------------------------ retrieval
+    def search_(
+        self,
+        query: str,
+        config=None,
+        group_ids: list[str] | None = None,
+        center_node_uuid: str | None = None,
+        bfs_origin_uuids: list[str] | None = None,
+        filters: SearchFilters | None = None,
+    ) -> SearchResults:
+        config = config or EDGE_HYBRID_SEARCH_RRF
+        return _search(self.spark, self.graph(), self.postings(), query, config,
+                       group_ids, center_node_uuid, bfs_origin_uuids, filters,
+                       self.embed_dim)
+
+    def search(
+        self,
+        query: str,
+        center_node_uuid: str | None = None,
+        group_ids: list[str] | None = None,
+        num_results: int = 10,
+    ) -> DataFrame:
+        """Default edge search (reference graphiti.py:624-681): RRF
+        recipe, or node-distance recipe when a center node is given."""
+        from dataclasses import replace
+
+        cfg = (EDGE_HYBRID_SEARCH_NODE_DISTANCE if center_node_uuid
+               else EDGE_HYBRID_SEARCH_RRF)
+        cfg = replace(cfg, limit=num_results)
+        res = self.search_(query, cfg, group_ids, center_node_uuid)
+        return res.edges
+
+    def retrieve_episodes(
+        self,
+        reference_time: datetime,
+        last_n: int = 3,
+        group_ids: list[str] | None = None,
+    ) -> DataFrame:
+        """S9 (graph_data_operations.py:115-188): last-n episodes before
+        the reference time, chronological."""
+        eps = self.store.read(self.spark, "episodes")
+        if group_ids:
+            eps = eps.where(F.col("group_id").isin(group_ids))
+        return (
+            eps.where(F.col("valid_at") <= F.lit(reference_time))
+            .orderBy(F.desc("valid_at"), F.desc("uuid"))
+            .limit(last_n)
+            .orderBy("valid_at", "uuid")
+        )
+
+    def get_nodes_and_edges_by_episode(self, episode_uuids: list[str]):
+        return _by_episode(self.graph(), episode_uuids)
+
+    # ------------------------------------------------------------ communities
+    def build_communities(self, now: datetime | None = None) -> dict[str, int]:
+        g = self.graph()
+        communities, members = _build_communities(g["nodes"], g["edges"], now,
+                                                  self.embed_dim)
+        communities = communities.localCheckpoint()
+        members = members.localCheckpoint()
+        self.store.write("communities", communities)
+        self.store.write("community_members", members)
+        self._postings = None
+        return {"communities": communities.count(), "members": members.count()}
+
+    def remove_communities(self) -> None:
+        _remove_communities(self.store, self.spark)
+
+    # ------------------------------------------------------------ maintenance
+    def remove_episode(self, episode_uuid: str) -> None:
+        self.store.remove_episode(self.spark, episode_uuid)
+        self._postings = None
+
+    def delete_group(self, group_ids: list[str]) -> None:
+        for t in GRAPH_TABLES + ("raw_episodes", "ext_nodes", "ext_edges"):
+            self.store.delete_by_group(self.spark, t, group_ids)
+        self._postings = None

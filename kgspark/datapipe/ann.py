@@ -155,7 +155,7 @@ def knn_join(
         F.col(right_id).alias("rid"), F.col(emb_col).alias("remb"),
         hyperplane_keys(F.col(emb_col).cast("array<double>"), dim, n_planes).alias("bkey"),
     )
-    joined = lk.join(rk, "bkey").where(F.col("lid") != F.col("rid"))
+    joined = lk.join(rk.hint("merge"), "bkey").where(F.col("lid") != F.col("rid"))
     scored = joined.withColumn(
         "cos", cosine_sim(F.col("lemb").cast("array<double>"),
                           F.col("remb").cast("array<double>"))

@@ -62,6 +62,7 @@ def ngram_jaccard_pairs(
 def minhash_lsh_pairs(
     df: DataFrame, id_col: str, text_col: str, n: int = 3,
     threshold: float = 0.5, num_hashes: int = 128, bands: int = 32,
+    max_bucket_size: int = 5000,
 ) -> DataFrame:
     """Near-dup pairs via banded MinHash over word n-gram shingles,
     verified with exact Jaccard. At 10^12 docs the only shuffle is on
@@ -71,9 +72,8 @@ def minhash_lsh_pairs(
         F.col(id_col).alias("id"),
         word_shingles(tokenize(F.col(text_col)), n).alias("sh"),
     )
-    return lsh_pairs(sh, "id", "sh", None, num_hashes, bands, threshold).select(
-        "id_a", "id_b", "jaccard"
-    )
+    return lsh_pairs(sh, "id", "sh", None, num_hashes, bands, threshold,
+                     max_bucket_size).select("id_a", "id_b", "jaccard")
 
 
 def simhash_pairs(
@@ -100,7 +100,8 @@ def simhash_pairs(
     )
     a, b = banded.alias("a"), banded.alias("b")
     return (
-        a.join(b, (F.col("a._band") == F.col("b._band")) & (F.col("a._id") < F.col("b._id")))
+        a.join(b.hint("merge"),  # band self-join must shuffle, never broadcast
+               (F.col("a._band") == F.col("b._band")) & (F.col("a._id") < F.col("b._id")))
         .select(F.col("a._id").alias("id_a"), F.col("b._id").alias("id_b"),
                 F.col("a._fp").alias("fp_a"), F.col("b._fp").alias("fp_b"))
         .dropDuplicates(["id_a", "id_b"])
@@ -146,7 +147,8 @@ def embedding_neardup_pairs_lsh(
                                                 seed=11 + t))
         a, b = k.alias("a"), k.alias("b")
         p = a.join(
-            b, (F.col("a._bk") == F.col("b._bk")) & (F.col("a._id") < F.col("b._id"))
+            b.hint("merge"),  # bucket self-join: shuffle on bucket key
+            (F.col("a._bk") == F.col("b._bk")) & (F.col("a._id") < F.col("b._id"))
         ).select(F.col("a._id").alias("id_a"), F.col("b._id").alias("id_b"),
                  F.col("a._e").alias("ea"), F.col("b._e").alias("eb"))
         cands = p if cands is None else cands.unionByName(p)

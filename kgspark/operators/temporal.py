@@ -110,36 +110,38 @@ def invalidate_edges(edges: DataFrame, now: datetime | None = None) -> DataFrame
         .withColumn("_polarity", _polarity_expr())
         .withColumn("_functional", _is_functional())
     )
+    is_role = F.col("pred").startswith("IS_") & F.col("pred").endswith("_OF")
+
+    # Each pass runs over the FULL set with a per-row-unique partition key
+    # for rows the pass doesn't apply to (their singleton window has no
+    # next run → no-op). Splitting with where()/union instead would put
+    # the whole upstream plan into the tree once per branch — 6 subtree
+    # re-evaluations; this way lineage is linear: 3 window shuffles total.
 
     # pass 1: antonym classes on the same directed (src, dst)
-    affect = df.where(F.col("_class").isNotNull())
-    rest = df.where(F.col("_class").isNull())
-    affect = _close_runs(
-        affect,
-        ["group_id", "source_node_uuid", "target_node_uuid", "_class"],
-        F.col("_polarity"), now_col,
-    )
-    df = affect.unionByName(rest)
+    k1 = F.when(
+        F.col("_class").isNotNull(),
+        F.concat_ws("|", "source_node_uuid", "target_node_uuid", "_class"),
+    ).otherwise(F.concat(F.lit("solo|"), F.col("uuid")))
+    df = _close_runs(df.withColumn("_k", k1), ["group_id", "_k"],
+                     F.col("_polarity"), now_col)
 
     # pass 2: functional preds — new object supersedes old per (src, pred)
-    func = df.where(F.col("_functional"))
-    rest = df.where(~F.col("_functional"))
-    func = _close_runs(
-        func, ["group_id", "source_node_uuid", "pred"],
-        F.col("target_node_uuid"), now_col,
-    )
-    df = func.unionByName(rest)
+    k2 = F.when(
+        F.col("_functional"),
+        F.concat_ws("|", "source_node_uuid", "pred"),
+    ).otherwise(F.concat(F.lit("solo|"), F.col("uuid")))
+    df = _close_runs(df.withColumn("_k", k2), ["group_id", "_k"],
+                     F.col("target_node_uuid"), now_col)
 
     # pass 3: inverse-functional role preds — new holder supersedes per (pred, obj)
-    role = df.where(F.col("pred").startswith("IS_") & F.col("pred").endswith("_OF"))
-    rest = df.where(~(F.col("pred").startswith("IS_") & F.col("pred").endswith("_OF")))
-    role = _close_runs(
-        role, ["group_id", "target_node_uuid", "pred"],
-        F.col("source_node_uuid"), now_col,
-    )
-    df = role.unionByName(rest)
+    k3 = F.when(
+        is_role, F.concat_ws("|", "target_node_uuid", "pred"),
+    ).otherwise(F.concat(F.lit("solo|"), F.col("uuid")))
+    df = _close_runs(df.withColumn("_k", k3), ["group_id", "_k"],
+                     F.col("source_node_uuid"), now_col)
 
-    return df.drop("_t", "_class", "_polarity", "_functional")
+    return df.drop("_t", "_class", "_polarity", "_functional", "_k")
 
 
 def point_in_time(edges: DataFrame, at) -> DataFrame:

@@ -88,9 +88,13 @@ class GraphStore:
         nodes = self.read(spark, "nodes")
         live = mentions.select(F.col("entity_uuid").alias("uuid")).distinct()
         nodes = nodes.join(live, "uuid", "left_semi")
-        for name, df in [("episodes", episodes), ("mentions", mentions),
-                         ("edges", edges), ("nodes", nodes)]:
-            self.write(name, df.localCheckpoint())
+        # materialize EVERY frame before overwriting ANY table — nodes'
+        # lineage reads the mentions files the loop would have replaced
+        frames = [(name, df.localCheckpoint()) for name, df in
+                  [("episodes", episodes), ("mentions", mentions),
+                   ("edges", edges), ("nodes", nodes)]]
+        for name, df in frames:
+            self.write(name, df)
 
 
 # ------------------------------------------------------------------ S7/S8

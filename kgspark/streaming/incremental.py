@@ -92,9 +92,22 @@ def ingest_pages(
     store.write("ext_edges", ext_edges, mode="append", bucket_key="uuid")
 
     groups = episodes.select("group_id").distinct().localCheckpoint()
+    counts = {"new_episodes": n_new}
+    counts.update(reassemble_groups(spark, store, groups, now, embed_dim))
+    return counts
 
-    # re-assemble affected groups from the full stored extraction rows
-    # (summary_text was persisted with raw_episodes — no re-extraction)
+
+def reassemble_groups(
+    spark: SparkSession,
+    store: GraphStore,
+    groups: DataFrame,
+    now: datetime | None = None,
+    embed_dim: int = 64,
+) -> dict[str, int]:
+    """Rebuild the graph tables for the given group_ids from the stored
+    per-episode extraction side tables and splice them over the previous
+    state (no re-extraction — summary_text persisted with raw_episodes).
+    Shared by batch ingest and add_triplet."""
     all_eps = store.read(spark, "raw_episodes").join(
         F.broadcast(groups), "group_id", "left_semi")
     all_nodes = store.read(spark, "ext_nodes").join(
@@ -102,8 +115,4 @@ def ingest_pages(
     all_edges = store.read(spark, "ext_edges").join(
         F.broadcast(groups), "group_id", "left_semi")
     g = assemble_graph(all_eps, all_nodes, all_edges, embed_dim, now)
-
-    counts = {"new_episodes": n_new}
-    for t in GRAPH_TABLES:
-        counts[t] = _splice(store, spark, t, g[t], groups)
-    return counts
+    return {t: _splice(store, spark, t, g[t], groups) for t in GRAPH_TABLES}

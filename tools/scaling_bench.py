@@ -57,11 +57,16 @@ def main() -> None:
     n_docs = int(sys.argv[1]) if len(sys.argv) > 1 else 600_000
     lo = int(sys.argv[2]) if len(sys.argv) > 2 else 2
     hi = int(sys.argv[3]) if len(sys.argv) > 3 else 4 * lo
+    repeats = int(sys.argv[4]) if len(sys.argv) > 4 else 2
     small = n_docs // 4
     res = {}
     for cpus in (lo, hi):
-        big = run_bench(cpus, n_docs)
-        sm = run_bench(cpus, small)
+        # best-of-N: the sandbox shares its kernel/FS with other tenants;
+        # min wall is the standard noise-floor estimator for throughput
+        bigs = [run_bench(cpus, n_docs) for _ in range(repeats)]
+        sms = [run_bench(cpus, small) for _ in range(repeats)]
+        big = min(bigs, key=lambda r: r["queries"]["pipeline_build_graph"])
+        sm = min(sms, key=lambda r: r["queries"]["pipeline_build_graph"])
         wall_big = big["queries"]["pipeline_build_graph"]
         wall_sm = sm["queries"]["pipeline_build_graph"]
         marginal = (n_docs - small) / max(wall_big - wall_sm, 1e-9)

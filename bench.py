@@ -75,6 +75,15 @@ def main() -> None:
     qs = entry_mod.queries()
     if os.environ.get("SPARK_GRAFT_SKIP_QUERIES"):
         qs = {}
+    if qs:
+        # BM25 queries run against a materialized postings index (the
+        # reference's searches run against prebuilt Lucene indexes, and
+        # the engine's KGSpark.postings() is likewise built once per
+        # graph state) — so the one-time index build is timed on its own
+        # line and q3/q6 measure query-over-index.
+        t0 = time.perf_counter()
+        entry_mod._bm25_index(spark, SF_DIR)
+        timings["bm25_index_build"] = round(time.perf_counter() - t0, 3)
     for name in (BENCH_QUERIES if qs else []):
         fn = qs[name]
         t0 = time.perf_counter()

@@ -35,7 +35,7 @@ from kgspark.operators.community import build_communities as _build_communities
 from kgspark.operators.community import remove_communities as _remove_communities
 from kgspark.schemas import PAGES
 from kgspark.search.filters import SearchFilters
-from kgspark.search.fulltext import build_postings
+from kgspark.search.fulltext import PostingsIndex, build_index
 from kgspark.search.recipes import (
     EDGE_HYBRID_SEARCH_NODE_DISTANCE,
     EDGE_HYBRID_SEARCH_RRF,
@@ -54,7 +54,15 @@ class KGSpark:
         self.spark = spark
         self.store = GraphStore(store_root)
         self.embed_dim = embed_dim
-        self._postings: DataFrame | None = None
+        self._postings: PostingsIndex | None = None
+
+    def _invalidate_postings(self) -> None:
+        """Drop the cached index AND unpersist it — a long-running stream
+        calling ingest per micro-batch must not accumulate dead cached
+        frames in the CacheManager."""
+        if self._postings is not None:
+            self._postings.unpersist()
+            self._postings = None
 
     # ------------------------------------------------------------ ingest
     def add_pages(self, pages: DataFrame, now: datetime | None = None) -> dict:
@@ -63,7 +71,7 @@ class KGSpark:
         re-assembled."""
         counts = ingest_pages(self.spark, self.store, pages, now=now,
                               embed_dim=self.embed_dim)
-        self._postings = None
+        self._invalidate_postings()
         return counts
 
     def add_episode(
@@ -165,7 +173,7 @@ class KGSpark:
         groups = self.spark.createDataFrame([(group_id,)], "group_id string")
         counts = reassemble_groups(self.spark, self.store, groups, now=now,
                                    embed_dim=self.embed_dim)
-        self._postings = None
+        self._invalidate_postings()
         return counts
 
     # ------------------------------------------------------------ read state
@@ -177,9 +185,9 @@ class KGSpark:
                 g[t] = self.store.read(self.spark, t)
         return g
 
-    def postings(self) -> DataFrame:
+    def postings(self) -> PostingsIndex:
         if self._postings is None:
-            self._postings = build_postings(self.graph()).persist()
+            self._postings = build_index(self.graph()).persist()
         return self._postings
 
     # ------------------------------------------------------------ retrieval
@@ -244,7 +252,7 @@ class KGSpark:
         members = members.localCheckpoint()
         self.store.write("communities", communities)
         self.store.write("community_members", members)
-        self._postings = None
+        self._invalidate_postings()
         return {"communities": communities.count(), "members": members.count()}
 
     def remove_communities(self) -> None:
@@ -252,10 +260,22 @@ class KGSpark:
 
     # ------------------------------------------------------------ maintenance
     def remove_episode(self, episode_uuid: str) -> None:
-        self.store.remove_episode(self.spark, episode_uuid)
-        self._postings = None
+        """Cascading delete (reference graphiti.py:776-805). The episode
+        must also leave the append-only extraction side tables — otherwise
+        the next ingest touching its group re-assembles from those side
+        tables and resurrects it — and the affected group is re-assembled
+        so derived state (dedup clusters, T2 invalidation) converges to
+        what a build without the episode would produce."""
+        group_id = self.store.purge_episode_inputs(self.spark, episode_uuid)
+        if group_id is None:  # not an ingested episode — graph-table cascade only
+            self.store.remove_episode(self.spark, episode_uuid)
+        else:
+            groups = self.spark.createDataFrame([(group_id,)], "group_id string")
+            reassemble_groups(self.spark, self.store, groups,
+                              embed_dim=self.embed_dim)
+        self._invalidate_postings()
 
     def delete_group(self, group_ids: list[str]) -> None:
         for t in GRAPH_TABLES + ("raw_episodes", "ext_nodes", "ext_edges"):
             self.store.delete_by_group(self.spark, t, group_ids)
-        self._postings = None
+        self._invalidate_postings()

@@ -131,6 +131,12 @@ class CheckpointedPipeline:
             started = datetime.now(timezone.utc)
             t0 = time.perf_counter()
             if n_pages == 0:
+                # a part that drifted to zero pages must not keep serving
+                # the rows a previous run wrote for it
+                for t in GRAPH_TABLES:
+                    stale = os.path.join(self.root, t, f"part={part}")
+                    if os.path.isdir(stale):
+                        shutil.rmtree(stale)
                 counts = {t: 0 for t in GRAPH_TABLES}
                 n_mention_rows = n_triple_rows = 0
             else:

@@ -163,7 +163,11 @@ def lsh_pairs(
     ).withColumn("_band", F.explode(keys(shingle_hashes(F.col("_sh")))))
     if max_bucket_size:
         sig = cap_buckets(sig, ["_grp", "_band"], max_bucket_size)
-    sig = sig.persist()  # banded table feeds both sides of the self-join
+    # banded table feeds both sides of the self-join; unpersisted below —
+    # lsh_pairs runs on every incremental/streaming micro-batch, and a
+    # leaked persist per batch accumulates in the CacheManager for the
+    # life of the stream.
+    sig = sig.persist()
     a = sig.alias("a")
     # merge hint: the banded table is mid-size and Catalyst's cached-plan
     # size estimate can sneak under the broadcast threshold — broadcasting
@@ -187,4 +191,8 @@ def lsh_pairs(
         .where(F.col("jaccard") >= jaccard_threshold)
         .drop("sh_a", "sh_b")
     )
+    # eager materialization (pairs are small — post-verify near-dups), so
+    # the banded table can be released before returning
+    pairs = pairs.localCheckpoint(eager=True)
+    sig.unpersist()
     return pairs

@@ -262,61 +262,43 @@ def apply_edge_type_map(
 ) -> DataFrame:
     """D12 (reference edge_operations.py:299-320; default map
     graphiti.py:369-373): constrain which predicates may connect which
-    entity-type pairs. ``edge_type_map[(src_label, tgt_label)]`` lists
-    allowed predicates; ('Entity','Entity') acts as the wildcard row.
-    Pairs absent from the map fall through (kept when default_allow).
-    Implemented as a broadcast lookup join — no shuffle of the edge set."""
-    spark = edges.sparkSession
+    entity-type pairs. The reference unions allowed types over the
+    CROSS-PRODUCT of the endpoints' full labels arrays
+    (edge_operations.py:304-320) — so a rule keyed ('Entity','Entity')
+    matches every entity pair (labels always start with 'Entity'), and a
+    node labeled ['Entity','Order'] matches both 'Entity'- and
+    'Order'-keyed rules. A pair is *constrained* iff any label combo has
+    a map entry; unconstrained pairs (including edges whose endpoints
+    have null/missing labels) fall through per ``default_allow``.
+
+    The map is a tiny driver dict, so the whole lookup compiles to a
+    folded ``array_contains`` predicate — two equi-joins to attach the
+    endpoints' labels arrays and zero lookup joins, no shuffle of the
+    edge set beyond the label attach."""
     # extraction-time frames carry the predicate as `pred`; the final
     # edges table as `name` (reference EntityEdge.name)
     pred = F.col("pred") if "pred" in edges.columns else F.col("name")
-    rows = [
-        (src, tgt, pred)
-        for (src, tgt), preds in edge_type_map.items()
-        for pred in preds
-    ]
-    allowed = spark.createDataFrame(
-        rows, "src_label string, tgt_label string, allowed_pred string")
-    labels = nodes.select(
-        "uuid", F.element_at(F.col("labels"), -1).alias("label"))
+    labels = nodes.select("uuid", "labels")
     e = (
         edges.join(F.broadcast(labels.withColumnRenamed("uuid", "source_node_uuid")
-                               .withColumnRenamed("label", "_src_label")),
+                               .withColumnRenamed("labels", "_src_labels")),
                    "source_node_uuid", "left")
         .join(F.broadcast(labels.withColumnRenamed("uuid", "target_node_uuid")
-                          .withColumnRenamed("label", "_tgt_label")),
+                          .withColumnRenamed("labels", "_tgt_labels")),
               "target_node_uuid", "left")
     )
-    wildcard = ("Entity", "Entity") in edge_type_map
-    hit = (
-        e.join(
-            F.broadcast(allowed),
-            (
-                ((F.col("_src_label") == F.col("src_label"))
-                 & (F.col("_tgt_label") == F.col("tgt_label")))
-                | (F.lit(wildcard)
-                   & (F.col("src_label") == "Entity") & (F.col("tgt_label") == "Entity"))
-            )
-            & (pred == F.col("allowed_pred")),
-            "left",
+    allowed = F.lit(False)
+    constrained = F.lit(False)
+    for (src, tgt), preds in edge_type_map.items():
+        m = (
+            F.coalesce(F.array_contains(F.col("_src_labels"), src), F.lit(False))
+            & F.coalesce(F.array_contains(F.col("_tgt_labels"), tgt), F.lit(False))
         )
-        .withColumn("_allowed", F.col("allowed_pred").isNotNull())
-    )
-    # a (src,tgt) pair is "constrained" if any rule exists for it (or wildcard)
-    mapped = spark.createDataFrame(
-        [(a, b) for a, b in edge_type_map], "m_src string, m_tgt string")
-    hit = hit.join(
-        F.broadcast(mapped),
-        (F.col("_src_label") == F.col("m_src")) & (F.col("_tgt_label") == F.col("m_tgt")),
-        "left",
-    ).withColumn("_constrained", F.lit(wildcard) | F.col("m_src").isNotNull())
-    keep = F.col("_allowed") | (~F.col("_constrained") & F.lit(default_allow))
-    return (
-        hit.where(keep)
-        .drop("_src_label", "_tgt_label", "src_label", "tgt_label",
-              "allowed_pred", "_allowed", "m_src", "m_tgt", "_constrained")
-        .dropDuplicates(["uuid"])
-    )
+        constrained = constrained | m
+        if preds:
+            allowed = allowed | (m & pred.isin(list(preds)))
+    keep = allowed | (~constrained & F.lit(default_allow))
+    return e.where(keep).drop("_src_labels", "_tgt_labels")
 
 
 # ------------------------------------------------------------------ D7/D8/D9

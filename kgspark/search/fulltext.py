@@ -20,6 +20,7 @@ Semantics preserved:
 from __future__ import annotations
 
 import re
+from dataclasses import dataclass
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -66,13 +67,51 @@ def build_postings(graph: dict[str, DataFrame]) -> DataFrame:
     return out.select("kind", "term", "doc_uuid", "group_id", "tf", "doc_len")
 
 
+def build_doc_stats(postings: DataFrame) -> DataFrame:
+    """Materialize per-(kind, group) corpus stats next to the postings —
+    the same "materialized view" move as the postings themselves. BM25
+    needs (n_docs, avg_len) for the query scope; storing per-group
+    (n_docs, sum_len) lets any group_ids subset be answered by a tiny
+    re-aggregation of this table instead of a full postings scan per
+    query (the measured scale-killer: a distinct+agg over all postings
+    on every call)."""
+    return (
+        postings.select("kind", "group_id", "doc_uuid", "doc_len").distinct()
+        .groupBy("kind", "group_id")
+        .agg(F.count("*").alias("n_docs"), F.sum("doc_len").alias("sum_len"))
+    )
+
+
+@dataclass
+class PostingsIndex:
+    """Postings + precomputed doc stats, built once per graph state
+    (KGSpark.postings()); the reference's Lucene index analogue."""
+
+    postings: DataFrame
+    doc_stats: DataFrame
+
+    def persist(self) -> "PostingsIndex":
+        self.postings.persist()
+        self.doc_stats.persist()
+        return self
+
+    def unpersist(self) -> None:
+        self.postings.unpersist()
+        self.doc_stats.unpersist()
+
+
+def build_index(graph: dict[str, DataFrame]) -> PostingsIndex:
+    postings = build_postings(graph)
+    return PostingsIndex(postings, build_doc_stats(postings))
+
+
 def query_terms(query: str) -> list[str]:
     return [t for t in re.split(r"[^a-z0-9]+", query.lower()) if t]
 
 
 def bm25_search(
     spark: SparkSession,
-    postings: DataFrame,
+    postings: DataFrame | PostingsIndex,
     kind: str,
     query: str,
     group_ids: list[str] | None = None,
@@ -80,7 +119,16 @@ def bm25_search(
 ) -> DataFrame:
     """Top-`limit` (doc_uuid, score) for `query` within `kind` —
     the reference fetches 2*limit per method upstream (search.py:181-195);
-    callers pass that in. Empty result for >32-term queries."""
+    callers pass that in. Empty result for >32-term queries.
+
+    Pass a ``PostingsIndex`` (what ``KGSpark.postings()`` returns) to use
+    the materialized doc stats; a bare postings DataFrame falls back to
+    computing stats inline (a full scoped-postings scan per query — fine
+    for tests, wrong at scale)."""
+    doc_stats = None
+    if isinstance(postings, PostingsIndex):
+        doc_stats = postings.doc_stats
+        postings = postings.postings
     terms = query_terms(query)
     if not terms or len(terms) > MAX_QUERY_LENGTH:
         return spark.createDataFrame([], "uuid string, score double")
@@ -90,10 +138,19 @@ def bm25_search(
         scoped = scoped.where(F.col("group_id").isin(group_ids))
 
     # corpus stats as a broadcast 1-row frame — single lazy plan, no collect
-    # (avg doc len from distinct docs, not postings rows)
-    stats = scoped.select("doc_uuid", "doc_len").distinct().agg(
-        F.count("*").cast("double").alias("n_docs"), F.avg("doc_len").alias("avg_len")
-    )
+    if doc_stats is not None:
+        s = doc_stats.where(F.col("kind") == kind)
+        if group_ids:
+            s = s.where(F.col("group_id").isin(group_ids))
+        stats = s.agg(
+            F.sum("n_docs").cast("double").alias("n_docs"),
+            (F.sum("sum_len") / F.sum("n_docs")).cast("double").alias("avg_len"),
+        )
+    else:
+        # (avg doc len from distinct docs, not postings rows)
+        stats = scoped.select("doc_uuid", "doc_len").distinct().agg(
+            F.count("*").cast("double").alias("n_docs"), F.avg("doc_len").alias("avg_len")
+        )
     q = scoped.where(F.col("term").isin(terms))
     dfreq = q.groupBy("term").agg(F.countDistinct("doc_uuid").alias("df"))
     idf = F.log(F.lit(1.0) + (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5))

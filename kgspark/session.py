@@ -12,6 +12,24 @@ import os
 from pyspark.sql import SparkSession
 
 
+def _default_driver_mem() -> str:
+    """One shared heap default for BOTH the submit-args path (the only
+    one local mode honors — see the comment in get_spark) and the
+    .config mirror, sized from the host so a smaller machine doesn't get
+    a 48g -Xmx it can't satisfy: ~40% of MemTotal clamped to [4g, 48g]
+    (this 128g sandbox → 48g, which the round-1 GC measurements need).
+    Override with KGSPARK_DRIVER_MEM."""
+    env = os.environ.get("KGSPARK_DRIVER_MEM")
+    if env:
+        return env
+    try:
+        with open("/proc/meminfo") as f:
+            kb = int(next(ln for ln in f if ln.startswith("MemTotal")).split()[1])
+        return f"{max(4, min(48, int(kb / 1024 / 1024 * 0.4)))}g"
+    except Exception:
+        return "8g"
+
+
 def get_spark(
     app_name: str = "kgspark",
     master: str | None = None,
@@ -24,7 +42,7 @@ def get_spark(
     # the 1g default. With 32 concurrent tasks that is a GC death spiral
     # (measured: 1132 GC core-seconds vs 605 CPU core-seconds on one
     # pipeline run). Heap must go through the spark-submit argv instead.
-    mem = os.environ.get("KGSPARK_DRIVER_MEM", "48g")
+    mem = _default_driver_mem()
     if "PYSPARK_SUBMIT_ARGS" not in os.environ:
         os.environ["PYSPARK_SUBMIT_ARGS"] = f"--driver-memory {mem} pyspark-shell"
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
@@ -56,7 +74,7 @@ def get_spark(
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
         # 32 concurrent tasks + cached page/episode strings in one JVM:
         # an 8g heap GC-thrashes (measured +20% wall); the box has 128g.
-        .config("spark.driver.memory", os.environ.get("KGSPARK_DRIVER_MEM", "32g"))
+        .config("spark.driver.memory", mem)
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
     )

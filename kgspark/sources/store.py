@@ -75,6 +75,27 @@ class GraphStore:
         remaining = df.where(~F.col("group_id").isin(group_ids)).localCheckpoint()
         self.write(table, remaining)
 
+    def purge_episode_inputs(self, spark: SparkSession, episode_uuid: str) -> str | None:
+        """Delete an episode's rows from the append-only extraction side
+        tables (raw_episodes / ext_nodes / ext_edges) so a later
+        re-assembly cannot resurrect it. Returns the episode's group_id
+        (for targeted re-assembly), or None if the episode has no side
+        rows (e.g. graph tables written by a one-shot batch build)."""
+        if not self.exists("raw_episodes"):
+            return None
+        raw = self.read(spark, "raw_episodes")
+        hit = raw.where(F.col("uuid") == episode_uuid).select("group_id").take(1)
+        if not hit:
+            return None
+        kept = raw.where(F.col("uuid") != episode_uuid).localCheckpoint()
+        self.write("raw_episodes", kept)
+        for t in ("ext_nodes", "ext_edges"):
+            if self.exists(t):
+                rem = self.read(spark, t).where(
+                    F.col("episode_uuid") != episode_uuid).localCheckpoint()
+                self.write(t, rem)
+        return hit[0]["group_id"]
+
     def remove_episode(self, spark: SparkSession, episode_uuid: str) -> None:
         """Cascading delete (reference graphiti.py:776-805): drop the
         episode, its mentions, edges only it supports, and orphan nodes."""

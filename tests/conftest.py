@@ -29,8 +29,10 @@ def graph(spark):
 
 @pytest.fixture(scope="session")
 def postings(graph):
-    from kgspark.search.fulltext import build_postings
+    """PostingsIndex (postings + materialized doc stats) — what
+    KGSpark.postings() hands to the search layer."""
+    from kgspark.search.fulltext import build_index
 
-    p = build_postings(graph).persist()
-    p.count()
-    return p
+    idx = build_index(graph).persist()
+    idx.postings.count()
+    return idx

@@ -129,3 +129,28 @@ def test_remove_episode_cascade(kg, spark, tmp_path):
     assert kg2.graph()["episodes"].count() == 0
     assert kg2.graph()["nodes"].count() == 0
     assert kg2.graph()["edges"].count() == 0
+
+
+def test_remove_episode_not_resurrected_by_next_ingest(kg, spark, tmp_path):
+    """A removed episode must leave the append-only extraction side
+    tables too — otherwise the next ingest in the same group
+    re-assembles from them and resurrects the episode's nodes/edges."""
+    kg2 = KGSpark(spark, str(tmp_path / "s3"))
+    kg2.add_episode("e1", "Dora Lane works at Hooli.",
+                    reference_time=datetime(2024, 1, 1), group_id="gX", now=NOW)
+    kg2.add_episode("e2", "Evan Price likes Scala.",
+                    reference_time=datetime(2024, 1, 2), group_id="gX", now=NOW)
+    ep1 = kg2.graph()["episodes"].where(F.col("name") == "e1").collect()[0]
+    kg2.remove_episode(ep1["uuid"])
+    names = {r["name"] for r in kg2.graph()["nodes"].collect()}
+    assert "Dora Lane" not in names and "Evan Price" in names
+    # ingest another page in the SAME group — the trigger that used to
+    # rebuild the group from the stale side tables
+    kg2.add_episode("e3", "Frank Ocean visited Tokyo.",
+                    reference_time=datetime(2024, 1, 3), group_id="gX", now=NOW)
+    eps = {r["name"] for r in kg2.graph()["episodes"].collect()}
+    assert eps == {"e2", "e3"}
+    names = {r["name"] for r in kg2.graph()["nodes"].collect()}
+    assert "Dora Lane" not in names
+    assert not kg2.graph()["edges"].where(
+        F.col("fact").contains("Hooli")).take(1)

@@ -41,6 +41,9 @@ def main():
         con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{sf}/{t}.parquet'")
 
     qs, oracles = entry_mod.queries(), entry_mod.oracle_sql()
+    only = set(sys.argv[2].split(",")) if len(sys.argv) > 2 else None
+    if only:
+        qs = {k: v for k, v in qs.items() if k in only}
     failures = 0
     for name, fn in qs.items():
         try:

@@ -193,6 +193,8 @@ def lsh_pairs(
     )
     # eager materialization (pairs are small — post-verify near-dups), so
     # the banded table can be released before returning
+    df.sparkSession.sparkContext.setJobDescription("lsh_pairs: band join + verify")
     pairs = pairs.localCheckpoint(eager=True)
+    df.sparkSession.sparkContext.setJobDescription(None)
     sig.unpersist()
     return pairs

@@ -61,37 +61,43 @@ def alias_pairs(nodes: DataFrame, jaccard_threshold: float = 0.55) -> DataFrame:
         F.size(F.split(F.col("norm_name"), " ")).alias("n_toks"),
     )
 
-    # 1. acronym join: multi-word names keyed by initialism vs short all-caps names
-    multi = base.where(F.col("n_toks") >= 2).select(
-        "group_id", F.col("uuid").alias("uuid_m"), acronym(F.col("name")).alias("akey"),
-        F.col("weight").alias("w_m"),
-    )
-    shorts = base.where(
-        (F.col("n_toks") == 1) & F.col("name").rlike(r"^[A-Z][A-Z0-9.&]{1,5}$")
-    ).select("group_id", F.col("uuid").alias("uuid_s"),
-             F.upper(F.regexp_replace("name", r"[^A-Za-z0-9]", "")).alias("akey"))
-    acro = multi.join(shorts, ["group_id", "akey"]).select(
+    # 1+2. acronym + surname generators FUSED into one equi-join + one
+    # ranking window. Both have the same shape — short single-token name
+    # matched against a key derived from multi-token names, ambiguity
+    # resolved per short name by weight — so each side emits rows tagged
+    # with a key TYPE ('a' acronym / 's' surname) and one join on
+    # (group_id, ktype, key) covers both. Halves the number of tiny
+    # node-level query stages (driver-serial stage-materialization cost
+    # was measured at ~0.1-0.2s per stage in this sandbox).
+    multi = base.where(F.col("n_toks") >= 2)
+    multi_keys = multi.select(
+        "group_id", F.col("uuid").alias("uuid_m"), F.col("weight").alias("w_m"),
+        F.explode(F.array(
+            F.struct(F.lit("a").alias("ktype"), acronym(F.col("name")).alias("key")),
+            F.struct(F.lit("s").alias("ktype"),
+                     norm_name(last_token(F.col("norm_name"))).alias("key")),
+        )).alias("k"),
+    ).select("group_id", "uuid_m", "w_m", "k.ktype", "k.key")
+    ones = base.where(F.col("n_toks") == 1)
+    short_keys = ones.where(
+        F.col("name").rlike(r"^[A-Z][A-Z0-9.&]{1,5}$")
+    ).select(
+        "group_id", F.col("uuid").alias("uuid_s"), F.lit("a").alias("ktype"),
+        F.upper(F.regexp_replace("name", r"[^A-Za-z0-9]", "")).alias("key"),
+    ).unionByName(ones.select(
+        "group_id", F.col("uuid").alias("uuid_s"), F.lit("s").alias("ktype"),
+        F.col("norm_name").alias("key"),
+    ))
+    cand = multi_keys.join(short_keys, ["group_id", "ktype", "key"]).select(
         F.col("uuid_m").alias("id_a"), F.col("uuid_s").alias("id_b"),
-        F.col("w_m").alias("w"),
+        "ktype", F.col("w_m").alias("w"),
     )
-    # ambiguous acronym (two expansions in group) → keep highest-weight, tie min uuid
-    w_ac = Window.partitionBy("id_b").orderBy(F.desc("w"), "id_a")
-    acro = acro.withColumn("_rn", F.row_number().over(w_ac)).where("_rn = 1").drop("_rn", "w")
-
-    # 2. surname join: bare single-token name vs multi-token names ending in it
-    singles = base.where(F.col("n_toks") == 1).select(
-        "group_id", F.col("uuid").alias("uuid_s"), F.col("norm_name").alias("skey"))
-    multi_last = base.where(F.col("n_toks") >= 2).select(
-        "group_id", F.col("uuid").alias("uuid_m"),
-        norm_name(last_token(F.col("norm_name"))).alias("skey"),
-        F.col("weight").alias("w_m"),
+    # ambiguous key (two expansions in group) → keep highest-weight, tie min uuid
+    w_rk = Window.partitionBy("ktype", "id_b").orderBy(F.desc("w"), "id_a")
+    acro_surname = (
+        cand.withColumn("_rn", F.row_number().over(w_rk)).where("_rn = 1")
+        .select("id_a", "id_b")
     )
-    surname = multi_last.join(singles, ["group_id", "skey"]).select(
-        F.col("uuid_m").alias("id_a"), F.col("uuid_s").alias("id_b"),
-        F.col("w_m").alias("w"),
-    )
-    w_sn = Window.partitionBy("id_b").orderBy(F.desc("w"), "id_a")
-    surname = surname.withColumn("_rn", F.row_number().over(w_sn)).where("_rn = 1").drop("_rn", "w")
 
     # 3. MinHash-LSH near-identical spellings (64 perms / 16 bands of 4 —
     # permissive recall; exact-Jaccard verify inside lsh_pairs filters)
@@ -102,7 +108,7 @@ def alias_pairs(nodes: DataFrame, jaccard_threshold: float = 0.55) -> DataFrame:
         jaccard_threshold=jaccard_threshold,
     ).select("id_a", "id_b")
 
-    return acro.unionByName(surname).unionByName(lsh).dropDuplicates(["id_a", "id_b"])
+    return acro_surname.unionByName(lsh).dropDuplicates(["id_a", "id_b"])
 
 
 # ------------------------------------------------------------------ D2/D4: CC
@@ -123,14 +129,16 @@ def connected_components(
     tiny shuffle stages by ~100× wall-clock; the distributed loop is
     the ≥10^9-edge scale path. Both produce comp = min(id) per
     component, so the switch is invisible to callers."""
+    spark = pairs.sparkSession
     edges = (
         pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
         .unionByName(pairs.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst")))
         .distinct()
         .persist()
     )
+    spark.sparkContext.setJobDescription("cc: edge count")
     n_edges = edges.count()
-    spark = pairs.sparkSession
+    spark.sparkContext.setJobDescription(None)
     id_type = edges.schema["src"].dataType
     if n_edges == 0:
         edges.unpersist()
@@ -148,7 +156,10 @@ def connected_components(
                 parent[x], x = r, parent[x]
             return r
 
-        for row in edges.collect():
+        spark.sparkContext.setJobDescription("cc: driver union-find collect")
+        rows = edges.collect()
+        spark.sparkContext.setJobDescription(None)
+        for row in rows:
             a, b = row["src"], row["dst"]
             parent.setdefault(a, a)
             parent.setdefault(b, b)

@@ -6,16 +6,17 @@ JVMs (thread count, shuffle partitions and memory pools honestly
 re-initialized) and report throughput at both plus
 scaling efficiency = (docs_per_sec_4N / docs_per_sec_N) / 4.
 
-Default pair is local[2] vs local[8] — both under-subscribe the 32-core
-box, so per-core memory bandwidth and LLC stay constant between legs,
-which is the honest single-machine analogue of adding executor machines
-(each bringing its own memory system). local[8] vs local[32] on one box
-instead measures the memory-bandwidth wall: the 32-thread leg's JVM CPU
-time inflates ~2× from cache/bus contention that a real 4× cluster
-would not see (numbers in BASELINE.md).
+Default pair is local[1] vs local[4] — both far under-subscribe the
+32-core box, so per-core memory bandwidth and LLC stay constant between
+legs, which is the honest single-machine analogue of adding executor
+machines (each bringing its own memory system). Higher pairs on one box
+instead measure the memory-bandwidth wall: at local[8] JVM task time
+already inflates ~1.3× vs local[2], and local[32] inflates ~2.2× vs
+local[8], from cache/bus contention that a real 4× cluster would not
+see (numbers in BASELINE.md).
 
-Usage: python tools/scaling_bench.py [n_docs] [N] [4N]
-Defaults: 600000 docs, N=2, 4N=8. Writes BENCH_SCALING.json.
+Usage: python tools/scaling_bench.py [n_docs] [N] [4N] [repeats]
+Defaults: 600000 docs, N=1, 4N=4. Writes BENCH_SCALING.json.
 """
 
 from __future__ import annotations
@@ -35,6 +36,9 @@ def run_bench(cpus: int, n_docs: int) -> dict:
         SPARK_GRAFT_PIPE_DOCS=str(n_docs),
         SPARK_GRAFT_SKIP_QUERIES="1",
         SPARK_GRAFT_SF_DIR=os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01"),
+        # identical docs-per-partition at BOTH corpus sizes (the marginal
+        # method subtracts them — per-task work must not change shape)
+        SPARK_GRAFT_PARTS=str(max(4, n_docs // 10_000)),
     )
     # Pin the WHOLE process tree (JVM task threads + Python UDF workers)
     # to exactly `cpus` cores — otherwise Python workers run beside the
@@ -55,7 +59,7 @@ def main() -> None:
     scheduler constant (~40 query stages × ~0.6s in this sandbox) that a
     real production corpus (10^6× larger) amortizes to nothing."""
     n_docs = int(sys.argv[1]) if len(sys.argv) > 1 else 600_000
-    lo = int(sys.argv[2]) if len(sys.argv) > 2 else 2
+    lo = int(sys.argv[2]) if len(sys.argv) > 2 else 1
     hi = int(sys.argv[3]) if len(sys.argv) > 3 else 4 * lo
     repeats = int(sys.argv[4]) if len(sys.argv) > 4 else 2
     small = n_docs // 4

@@ -202,13 +202,13 @@ def q_q7_rrf(spark, sf):
     clicks = (
         ev.where(F.col("event_type") == "click")
         .groupBy("user_id").agg(F.count("*").alias("n"))
-        .withColumn("rank", F.row_number().over(Window.orderBy(F.desc("n"), "user_id")))
+        .withColumn("rank", F.row_number().over(Window.partitionBy(F.lit(0)).orderBy(F.desc("n"), "user_id")))
         .limit(50)
     )
     views = (
         ev.where(F.col("event_type") == "view")
         .groupBy("user_id").agg(F.round(F.sum("value"), 2).alias("v"))
-        .withColumn("rank", F.row_number().over(Window.orderBy(F.desc("v"), "user_id")))
+        .withColumn("rank", F.row_number().over(Window.partitionBy(F.lit(0)).orderBy(F.desc("v"), "user_id")))
         .limit(50)
     )
     unioned = clicks.select("user_id", "rank").unionByName(views.select("user_id", "rank"))
@@ -434,6 +434,49 @@ def q_knn_join(spark, sf):
                     n_planes=6)
 
 
+def q_e4_attributes(spark, sf):
+    """E4: typed attribute fill + fact-derived summaries
+    (node_operations.py:449-536) over a TPC-H-derived graph: order
+    nodes WORKS_AT supplier nodes (valid while l_returnflag='N'), so
+    Person.employer = newest still-valid supplier, Organization.
+    notable_member = newest valid member, summary = newest facts."""
+    from kgspark.operators.attributes import extract_attributes
+
+    li = spark.read.parquet(f"{sf}/lineitem.parquet").where(F.col("l_orderkey") <= 300)
+    onodes = li.select(F.concat(F.lit("o"), F.col("l_orderkey")).alias("uuid")).distinct()
+    snodes = li.select(F.concat(F.lit("s"), F.col("l_suppkey")).alias("uuid")).distinct()
+    nodes = (
+        onodes.unionByName(snodes)
+        .withColumn("name", F.col("uuid"))
+        .withColumn("group_id", F.lit("g"))
+        .withColumn("labels", F.array(F.lit("Entity")))
+        .withColumn("created_at", F.lit("2024-01-01").cast("timestamp"))
+        .withColumn("summary", F.concat(F.lit("Entity "), F.col("name")))
+        .withColumn("attributes", F.create_map().cast("map<string,string>"))
+    )
+    edges = li.select(
+        F.concat(F.lit("o"), F.col("l_orderkey")).alias("source_node_uuid"),
+        F.concat(F.lit("s"), F.col("l_suppkey")).alias("target_node_uuid"),
+        F.lit("WORKS_AT").alias("pred"),
+        F.concat(F.lit("o"), F.col("l_orderkey"), F.lit(" works at s"),
+                 F.col("l_suppkey"), F.lit(" line "), F.col("l_linenumber")).alias("fact"),
+        F.concat(F.lit("o"), F.col("l_orderkey")).alias("subj_name"),
+        F.concat(F.lit("s"), F.col("l_suppkey")).alias("obj_name"),
+        F.col("l_shipdate").cast("timestamp").alias("valid_at"),
+        F.when(F.col("l_returnflag") != "N",
+               F.date_add(F.col("l_shipdate"), 30).cast("timestamp")).alias("invalid_at"),
+        F.col("l_shipdate").cast("timestamp").alias("ref_ts"),
+    )
+    out = extract_attributes(nodes, edges)
+    return out.select(
+        "name",
+        F.element_at(F.col("labels"), -1).alias("node_type"),
+        F.element_at(F.col("attributes"), "employer").alias("employer"),
+        F.element_at(F.col("attributes"), "notable_member").alias("notable_member"),
+        "summary",
+    ).orderBy("name")
+
+
 def q_c2_label_propagation(spark, sf):
     """C2: community label propagation (iterative — rows-only check)."""
     from kgspark.operators.community import build_projection, label_propagation
@@ -451,9 +494,9 @@ def q_q6_hybrid(spark, sf):
     """Q6: hybrid fulltext ∪ cosine retrieval fused with RRF
     (search_utils.py:588-659) — doc_id and vec_id are aligned ids."""
     bm25 = q_q3_bm25(spark, sf).withColumn(
-        "rank", F.row_number().over(Window.orderBy(F.desc("score"), "doc_id")))
+        "rank", F.row_number().over(Window.partitionBy(F.lit(0)).orderBy(F.desc("score"), "doc_id")))
     cos = q_q4_cosine_topk(spark, sf).withColumn(
-        "rank", F.row_number().over(Window.orderBy(F.desc("cos"), "vec_id"))
+        "rank", F.row_number().over(Window.partitionBy(F.lit(0)).orderBy(F.desc("cos"), "vec_id"))
     ).withColumnRenamed("vec_id", "doc_id")
     unioned = bm25.select("doc_id", "rank").unionByName(cos.select("doc_id", "rank"))
     return (
@@ -738,11 +781,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_neardup": q_embedding_neardup,
         "s10_reverse_lookup": q_s10_reverse_lookup,
         "d12_edge_type_map": q_d12_edge_type_map,
-        # rows-only (non-SQL-expressible / probabilistic / xxhash-based):
+        "c2_label_propagation": q_c2_label_propagation,
+        "e4_attributes": q_e4_attributes,
+        # rows-only (non-SQL-expressible / probabilistic / xxhash-based —
+        # the xxhash64/numpy-seeded LSH family cannot be mirrored in
+        # DuckDB; knn_join/ivf_ann are LSH-approximate, so their recall
+        # is verified against exact kNN in tests/test_datapipe.py
+        # instead):
         "minhash_lsh_pairs": q_minhash_lsh_pairs,
         "simhash_pairs": q_simhash_pairs,
         "knn_join": q_knn_join,
-        "c2_label_propagation": q_c2_label_propagation,
         "embedding_neardup_lsh": q_embedding_neardup_lsh,
         "ivf_ann": q_ivf_ann,
         "fingerprint": q_fingerprint,
@@ -755,7 +803,89 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def oracle_sql() -> dict[str, str]:
     bm25_terms = ",".join(f"'{t}'" for t in BM25_QUERY)
+    # C2 label propagation: the 5 plurality-vote rounds unrolled as
+    # chained CTEs (DuckDB's recursive CTEs can't carry full-state
+    # iteration with windows). The Spark loop runs exactly max_iter=5
+    # rounds or hits the same fixpoint earlier (further rounds are
+    # no-ops), so state(5) is identical on both sides — including the
+    # tie-break: max weight, then greatest label.
+    lp_steps = ""
+    for i in range(5):
+        lp_steps += f""", l{i + 1} AS (
+            SELECT n.node, coalesce(w.label, n.label) AS label FROM l{i} n
+            LEFT JOIN (
+              SELECT node, nbr_label AS label FROM (
+                SELECT u.node, l.label AS nbr_label,
+                       row_number() OVER (PARTITION BY u.node
+                           ORDER BY sum(u.edge_count) DESC, l.label DESC) AS rn
+                FROM und u JOIN l{i} l ON u.nbr = l.node
+                GROUP BY u.node, l.label
+              ) WHERE rn = 1
+            ) w ON n.node = w.node
+        )"""
+    c2_oracle = f"""
+        WITH e AS (
+          SELECT 'o' || l_orderkey AS src, 'p' || l_partkey AS dst
+          FROM lineitem WHERE l_orderkey <= 200
+        ), und AS (
+          SELECT node, nbr, count(*) AS edge_count FROM (
+            SELECT src AS node, dst AS nbr FROM e
+            UNION ALL SELECT dst, src FROM e
+          ) GROUP BY node, nbr
+        ), l0 AS (
+          SELECT DISTINCT node, node AS label FROM und
+        ){lp_steps}
+        SELECT 'g' AS group_id, node, label AS community FROM l5 ORDER BY node
+    """
+    # E4 attribute fill: mirror of extract_attributes' array ordering —
+    # facts sorted newest-first by (t, fact), typed fields = first valid
+    # match, summary = name + top-5 facts
+    e4_oracle = """
+        WITH li AS (SELECT * FROM lineitem WHERE l_orderkey <= 300),
+        f AS (
+          SELECT 'o' || l_orderkey AS uuid, 's' || l_suppkey AS other,
+                 CAST(l_shipdate AS TIMESTAMP) AS t,
+                 (l_returnflag = 'N') AS is_valid, TRUE AS is_src,
+                 'o' || l_orderkey || ' works at s' || l_suppkey
+                     || ' line ' || l_linenumber AS fact
+          FROM li
+          UNION ALL
+          SELECT 's' || l_suppkey, 'o' || l_orderkey,
+                 CAST(l_shipdate AS TIMESTAMP),
+                 (l_returnflag = 'N'), FALSE,
+                 'o' || l_orderkey || ' works at s' || l_suppkey
+                     || ' line ' || l_linenumber
+          FROM li
+        ), ranked AS (
+          SELECT *, row_number() OVER (PARTITION BY uuid
+                        ORDER BY t DESC, fact DESC) AS rn
+          FROM f
+        ), vranked AS (
+          SELECT *, row_number() OVER (PARTITION BY uuid
+                        ORDER BY t DESC, fact DESC) AS vrn
+          FROM f WHERE is_valid
+        ), summaries AS (
+          SELECT uuid, string_agg(fact, ' ' ORDER BY rn) AS facts_text
+          FROM ranked WHERE rn <= 5 GROUP BY uuid
+        ), attrs AS (
+          SELECT uuid,
+                 max(CASE WHEN vrn = 1 AND is_src THEN other END) AS employer,
+                 max(CASE WHEN vrn = 1 AND NOT is_src THEN other END) AS notable_member
+          FROM vranked GROUP BY uuid
+        )
+        SELECT n.uuid AS name,
+               CASE WHEN n.uuid LIKE 'o%' THEN 'Person'
+                    ELSE 'Organization' END AS node_type,
+               a.employer, a.notable_member,
+               n.uuid || ': ' || s.facts_text AS summary
+        FROM (SELECT DISTINCT uuid FROM f) n
+        LEFT JOIN attrs a USING (uuid)
+        LEFT JOIN summaries s USING (uuid)
+        ORDER BY name
+    """
     return {
+        "c2_label_propagation": c2_oracle,
+        "e4_attributes": e4_oracle,
         "s8_keyset_pagination": """
             SELECT event_id, user_id, event_type FROM events
             WHERE event_id < 9000 ORDER BY event_id DESC LIMIT 100

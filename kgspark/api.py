@@ -50,10 +50,24 @@ GRAPH_TABLES = ("episodes", "nodes", "edges", "mentions")
 
 
 class KGSpark:
-    def __init__(self, spark: SparkSession, store_root: str, embed_dim: int = 64):
+    def __init__(
+        self,
+        spark: SparkSession,
+        store_root: str,
+        embed_dim: int = 64,
+        entity_types: dict | None = None,
+    ):
+        """``entity_types``: custom entity-type registry (E4) — validated
+        up front like the reference's add_episode does
+        (entity_types_utils.py:23-37). None → the default deterministic
+        ontology; {} → summaries only."""
+        from kgspark.operators.attributes import validate_entity_types
+
+        validate_entity_types(entity_types)
         self.spark = spark
         self.store = GraphStore(store_root)
         self.embed_dim = embed_dim
+        self.entity_types = entity_types
         self._postings: PostingsIndex | None = None
 
     def _invalidate_postings(self) -> None:
@@ -65,14 +79,50 @@ class KGSpark:
             self._postings = None
 
     # ------------------------------------------------------------ ingest
-    def add_pages(self, pages: DataFrame, now: datetime | None = None) -> dict:
+    def add_pages(
+        self,
+        pages: DataFrame,
+        now: datetime | None = None,
+        update_communities: bool = False,
+    ) -> dict:
         """Bulk ingest of Common-Crawl-style pages (the input_hint shape);
         incremental — only new urls are extracted, affected groups
-        re-assembled."""
+        re-assembled. ``update_communities=True`` mirrors reference
+        add_episode(update_communities=True) (graphiti.py:464-471):
+        nodes touched by this batch are assigned to the plurality
+        community of their neighbors and affected community summaries
+        refresh — without a full build_communities()."""
+        pages = pages.localCheckpoint()  # batch consumed twice when updating communities
         counts = ingest_pages(self.spark, self.store, pages, now=now,
-                              embed_dim=self.embed_dim)
+                              embed_dim=self.embed_dim,
+                              entity_types=self.entity_types)
+        if update_communities and self.store.exists("communities"):
+            self._update_communities_for_batch(pages, now)
         self._invalidate_postings()
         return counts
+
+    def _update_communities_for_batch(self, pages: DataFrame,
+                                      now: datetime | None) -> None:
+        """C4 for every node the batch's episodes mention — episode uuids
+        are content-addressed (sha1 of url), so the touched set is
+        derivable from the input pages without extra bookkeeping."""
+        from kgspark.operators.community import update_communities
+
+        ep_uuids = pages.select(
+            F.sha1(F.concat_ws(":", F.lit("episode"), F.col("url")))
+            .alias("episode_uuid"))
+        g = self.graph()
+        touched = (
+            g["mentions"].join(F.broadcast(ep_uuids), "episode_uuid", "left_semi")
+            .select(F.col("entity_uuid").alias("uuid")).distinct()
+        )
+        communities, members = update_communities(
+            g["nodes"], g["edges"], g["communities"], g["community_members"],
+            touched, now, self.embed_dim)
+        communities = communities.localCheckpoint()
+        members = members.localCheckpoint()
+        self.store.write("communities", communities)
+        self.store.write("community_members", members)
 
     def add_episode(
         self,
@@ -82,6 +132,7 @@ class KGSpark:
         reference_time: datetime | None = None,
         group_id: str = "default",
         now: datetime | None = None,
+        update_communities: bool = False,
     ) -> dict:
         """Point update (reference add_episode): one episode wrapped as a
         one-row pages batch. url scheme https://<group_id>/<name> keeps
@@ -91,7 +142,8 @@ class KGSpark:
             "url": f"https://{group_id}/{name}",
             "warc_ts": ts, "html": None, "text": episode_body, "lang": "en",
         }])
-        return self.add_pages(self.spark.createDataFrame(row, PAGES), now=now)
+        return self.add_pages(self.spark.createDataFrame(row, PAGES), now=now,
+                              update_communities=update_communities)
 
     def add_episode_bulk(
         self, episodes: list[dict], group_id: str = "default",
@@ -172,7 +224,8 @@ class KGSpark:
         self.store.write("ext_edges", edges, mode="append", bucket_key="uuid")
         groups = self.spark.createDataFrame([(group_id,)], "group_id string")
         counts = reassemble_groups(self.spark, self.store, groups, now=now,
-                                   embed_dim=self.embed_dim)
+                                   embed_dim=self.embed_dim,
+                                   entity_types=self.entity_types)
         self._invalidate_postings()
         return counts
 
@@ -272,7 +325,8 @@ class KGSpark:
         else:
             groups = self.spark.createDataFrame([(group_id,)], "group_id string")
             reassemble_groups(self.spark, self.store, groups,
-                              embed_dim=self.embed_dim)
+                              embed_dim=self.embed_dim,
+                              entity_types=self.entity_types)
         self._invalidate_postings()
 
     def delete_group(self, group_ids: list[str]) -> None:

@@ -143,19 +143,38 @@ def ivf_topk(
 def knn_join(
     left: DataFrame, right: DataFrame, left_id: str, right_id: str,
     emb_col: str, dim: int, k: int = 5, n_planes: int = 8,
+    n_tables: int = 1,
 ) -> DataFrame:
     """Per-left-row approximate k-NN from `right` via shared hyperplane
     bucket equi-join + exact rescoring + windowed top-k. One shuffle on
-    bucket keys; bucket sizes bounded by n_planes choice (2^n buckets)."""
+    bucket keys; bucket sizes bounded by n_planes choice (2^n buckets).
+
+    ``n_tables`` is the standard LSH recall knob: each table hashes with
+    independently-seeded planes and a row's candidates are the UNION of
+    its buckets across tables (dedup before rescoring), so recall rises
+    with tables at linearly growing probe cost — tune (n_planes,
+    n_tables) to the corpus' neighbor-distance distribution. The bucket
+    keys are table-tagged, so one equi-join covers all tables."""
+    def keys_col(tagged_emb):
+        e = tagged_emb.cast("array<double>")
+        return F.array(*[
+            F.concat(F.lit(f"{t}|"), hyperplane_keys(e, dim, n_planes, seed=7 + t))
+            for t in range(n_tables)
+        ])
+
     lk = left.select(
         F.col(left_id).alias("lid"), F.col(emb_col).alias("lemb"),
-        hyperplane_keys(F.col(emb_col).cast("array<double>"), dim, n_planes).alias("bkey"),
+        F.explode(keys_col(F.col(emb_col))).alias("bkey"),
     )
     rk = right.select(
         F.col(right_id).alias("rid"), F.col(emb_col).alias("remb"),
-        hyperplane_keys(F.col(emb_col).cast("array<double>"), dim, n_planes).alias("bkey"),
+        F.explode(keys_col(F.col(emb_col))).alias("bkey"),
     )
-    joined = lk.join(rk.hint("merge"), "bkey").where(F.col("lid") != F.col("rid"))
+    joined = (
+        lk.join(rk.hint("merge"), "bkey")
+        .where(F.col("lid") != F.col("rid"))
+        .dropDuplicates(["lid", "rid"])
+    )
     scored = joined.withColumn(
         "cos", cosine_sim(F.col("lemb").cast("array<double>"),
                           F.col("remb").cast("array<double>"))

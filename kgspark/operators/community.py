@@ -141,6 +141,101 @@ def remove_communities(store, spark) -> None:
             store.write(t, store.read(spark, t).limit(0))
 
 
+def update_communities(
+    nodes: DataFrame,
+    edges: DataFrame,
+    communities: DataFrame,
+    community_members: DataFrame,
+    touched: DataFrame,
+    now: datetime | None = None,
+    embed_dim: int = 64,
+) -> tuple[DataFrame, DataFrame]:
+    """C4, set-based (reference update_community per touched node,
+    community_operations.py:232-313, invoked from
+    graphiti.py:464-471 when add_episode(update_communities=True)):
+
+    - nodes already in a community keep it (determine_entity_community's
+      first query);
+    - unassigned touched nodes join the plurality community among their
+      neighbors (edge-count weighted, ties to the greater community
+      uuid — the reference's defaultdict count over one row per
+      RELATES_TO path); no neighbor community → no assignment;
+    - affected communities get their name/summary/embedding refreshed
+      deterministically (the C3 rule stands in for the reference's
+      summarize_pair LLM call).
+
+    One batch dataflow for ANY number of touched nodes — the reference
+    loops a Cypher round-trip per node. Returns (communities, members).
+    """
+    touched = touched.select("uuid").distinct()
+    unassigned = touched.join(
+        community_members.select(F.col("entity_uuid").alias("uuid")),
+        "uuid", "left_anti")
+    proj = build_projection(edges).join(
+        F.broadcast(unassigned.withColumnRenamed("uuid", "node")), "node", "left_semi")
+    votes = (
+        proj.join(
+            community_members.select(F.col("entity_uuid").alias("nbr"),
+                                     "community_uuid"),
+            "nbr",
+        )
+        .groupBy("node", "community_uuid")
+        .agg(F.sum("edge_count").alias("w"))
+    )
+    w_rank = Window.partitionBy("node").orderBy(F.desc("w"), F.desc("community_uuid"))
+    now_col = F.lit(now) if now else F.current_timestamp()
+    new_rows = (
+        votes.withColumn("_rn", F.row_number().over(w_rank)).where("_rn = 1")
+        .join(nodes.select(F.col("uuid").alias("node"), "group_id"), "node")
+        .select(
+            sha1_uuid(F.lit("member"), F.col("community_uuid"),
+                      F.col("node")).alias("uuid"),
+            "community_uuid",
+            F.col("node").alias("entity_uuid"),
+            "group_id",
+            now_col.alias("created_at"),
+        )
+    )
+    members = community_members.unionByName(new_rows)
+
+    # refresh name/summary of ONLY the affected communities (the ones a
+    # touched node belongs to after assignment) — C3 deterministic rule
+    affected = members.join(
+        F.broadcast(touched.withColumnRenamed("uuid", "entity_uuid")),
+        "entity_uuid", "left_semi").select("community_uuid").distinct()
+    stats = (
+        members.join(F.broadcast(affected), "community_uuid", "left_semi")
+        .join(nodes.select(F.col("uuid").alias("entity_uuid"), "name",
+                           F.coalesce(
+                               F.element_at(F.col("attributes"), "mention_count")
+                               .cast("long"), F.lit(1)).alias("weight")),
+              "entity_uuid")
+        .groupBy("community_uuid")
+        .agg(
+            F.max_by("name", F.struct(F.col("weight"), F.col("name"))).alias("_name"),
+            F.concat_ws(
+                "; ", F.slice(F.array_sort(F.collect_list(F.struct(
+                    (-F.col("weight")).alias("nw"), F.col("name").alias("n")
+                ))), 1, 5).getField("n"),
+            ).alias("_summary"),
+        )
+    )
+    embed = embedder_udf(embed_dim)
+    refreshed = (
+        communities.join(F.broadcast(stats),
+                         communities.uuid == stats.community_uuid, "left")
+        .withColumn("name", F.coalesce("_name", "name"))
+        .withColumn("summary", F.coalesce("_summary", "summary"))
+        .withColumn(
+            "name_embedding",
+            F.when(F.col("_name").isNotNull(), embed(F.col("name")))
+            .otherwise(F.col("name_embedding")),
+        )
+        .drop("community_uuid", "_name", "_summary")
+    )
+    return refreshed, members
+
+
 def update_community(
     nodes: DataFrame,
     edges: DataFrame,

@@ -330,29 +330,61 @@ def resolve_edge_pointers(ext_edges: DataFrame, uuid_map: DataFrame) -> DataFram
     )
 
 
-def dedupe_edges(ext_edges: DataFrame) -> DataFrame:
+def dedupe_edges(ext_edges: DataFrame, n_salt: int | None = None) -> DataFrame:
     """D8+D9 (bulk_utils.py:469-486, edge_operations.py:550-580): drop
     self-loops, then within (group, src, dst, pred) keep the first fact
     (by valid_at-then-created order) and union episode provenance —
     duplicate ⇒ reuse existing edge + append episode uuid
-    (edge_operations.py:450-477). One shuffle on the edge key."""
+    (edge_operations.py:450-477). One shuffle on the edge key.
+
+    ``n_salt``: hot-key path (north rule "salted joins for hot
+    entities"). A celebrity fact repeated across millions of pages makes
+    one (src, dst, pred) key a single-reduce-task straggler that
+    map-side combine cannot fix for collect_list. With salt, phase 1
+    pre-aggregates per (key, salt) — every min_by is associative and
+    episode lists merge by flatten — and phase 2 merges n_salt partials
+    per key. Same output (episodes array is sorted at the end either
+    way); measured on the skewed corpus in tools/skew_bench.py."""
     no_loops = ext_edges.where(F.col("source_node_uuid") != F.col("target_node_uuid"))
+    key = ["group_id", "source_node_uuid", "target_node_uuid", "pred"]
     order = F.struct(
         F.coalesce(F.col("valid_at"), F.col("warc_ts")).alias("t"),
         F.col("warc_ts"),
         F.col("uuid"),
     )
-    return (
-        no_loops.groupBy("group_id", "source_node_uuid", "target_node_uuid", "pred")
-        .agg(
-            F.min_by("uuid", order).alias("uuid"),
-            F.min_by("fact", order).alias("fact"),
-            F.min_by("valid_at", order).alias("valid_at"),
-            F.min_by("invalid_at", order).alias("invalid_at"),
+    picks = [("uuid", "uuid"), ("fact", "fact"), ("valid_at", "valid_at"),
+             ("invalid_at", "invalid_at"), ("subj_name", "subj_name"),
+             ("obj_name", "obj_name")]
+    if n_salt is None:
+        return no_loops.groupBy(*key).agg(
+            *[F.min_by(c, order).alias(a) for c, a in picks],
             F.min("warc_ts").alias("created_at"),
             F.min_by("warc_ts", order).alias("ref_ts"),
             F.array_sort(F.array_distinct(F.collect_list("episode_uuid"))).alias("episodes"),
-            F.min_by("subj_name", order).alias("subj_name"),
-            F.min_by("obj_name", order).alias("obj_name"),
+        )
+
+    from kgspark.functions.skew import with_salt
+
+    # phase 1: partial aggregate per (key, salt) — carries the full order
+    # struct so phase 2 can re-run the same argmin over partials
+    partial = (
+        with_salt(no_loops, n_salt, ["uuid"])
+        .groupBy(*key, "_salt")
+        .agg(
+            F.min(order).alias("_ord"),
+            *[F.min_by(c, order).alias(a) for c, a in picks],
+            F.min("warc_ts").alias("created_at"),
+            F.min_by("warc_ts", order).alias("ref_ts"),
+            F.array_distinct(F.collect_list("episode_uuid")).alias("episodes"),
+        )
+    )
+    return (
+        partial.groupBy(*key)
+        .agg(
+            *[F.min_by(a, F.col("_ord")).alias(a) for _, a in picks],
+            F.min("created_at").alias("created_at"),
+            F.min_by("ref_ts", F.col("_ord")).alias("ref_ts"),
+            F.array_sort(F.array_distinct(F.flatten(F.collect_list("episodes"))))
+            .alias("episodes"),
         )
     )

@@ -19,6 +19,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from kgspark.functions.embed import embedder_udf
+from kgspark.operators.attributes import extract_attributes
 from kgspark.operators.dedup import (
     alias_pairs,
     apply_uuid_map_nodes,
@@ -40,11 +41,15 @@ def build_graph(
     embed_dim: int = 64,
     now: datetime | None = None,
     dedup: bool = True,
+    entity_types: dict | None = None,
 ) -> dict[str, DataFrame]:
     """pages(url, warc_ts, html, text, lang) → graph tables
-    {episodes, nodes, edges, mentions}."""
+    {episodes, nodes, edges, mentions}. ``entity_types`` is the custom
+    entity-type registry (E4; None → attributes.DEFAULT_ENTITY_TYPES,
+    {} → summaries only)."""
     episodes, ext_nodes, ext_edges = run_extraction(pages_to_episodes(pages))
-    return assemble_graph(episodes, ext_nodes, ext_edges, embed_dim, now, dedup)
+    return assemble_graph(episodes, ext_nodes, ext_edges, embed_dim, now, dedup,
+                          entity_types)
 
 
 def assemble_graph(
@@ -54,6 +59,7 @@ def assemble_graph(
     embed_dim: int = 64,
     now: datetime | None = None,
     dedup: bool = True,
+    entity_types: dict | None = None,
 ) -> dict[str, DataFrame]:
     """Extraction outputs → graph tables. Split from ``build_graph`` so
     incremental ingest (kgspark.streaming) can re-assemble affected
@@ -72,6 +78,10 @@ def assemble_graph(
 
     edges_deduped = dedupe_edges(edges_resolved)
     edges_temporal = invalidate_edges(edges_deduped, now).persist()
+
+    # E4: typed attributes + fact-derived summaries from the node's own
+    # (canonical, invalidation-aware) edges — one extra shuffle
+    nodes = extract_attributes(nodes, edges_temporal, entity_types)
 
     embed = embedder_udf(embed_dim)
     edges = (

@@ -63,6 +63,7 @@ def ingest_pages(
     pages: DataFrame,
     now: datetime | None = None,
     embed_dim: int = 64,
+    entity_types: dict | None = None,
 ) -> dict[str, int]:
     """One micro-batch: extract new pages once, append extraction side
     tables, re-assemble affected groups, splice graph tables."""
@@ -93,7 +94,8 @@ def ingest_pages(
 
     groups = episodes.select("group_id").distinct().localCheckpoint()
     counts = {"new_episodes": n_new}
-    counts.update(reassemble_groups(spark, store, groups, now, embed_dim))
+    counts.update(reassemble_groups(spark, store, groups, now, embed_dim,
+                                    entity_types))
     return counts
 
 
@@ -103,6 +105,7 @@ def reassemble_groups(
     groups: DataFrame,
     now: datetime | None = None,
     embed_dim: int = 64,
+    entity_types: dict | None = None,
 ) -> dict[str, int]:
     """Rebuild the graph tables for the given group_ids from the stored
     per-episode extraction side tables and splice them over the previous
@@ -114,5 +117,6 @@ def reassemble_groups(
         F.broadcast(groups), "group_id", "left_semi")
     all_edges = store.read(spark, "ext_edges").join(
         F.broadcast(groups), "group_id", "left_semi")
-    g = assemble_graph(all_eps, all_nodes, all_edges, embed_dim, now)
+    g = assemble_graph(all_eps, all_nodes, all_edges, embed_dim, now,
+                       entity_types=entity_types)
     return {t: _splice(store, spark, t, g[t], groups) for t in GRAPH_TABLES}

@@ -61,6 +61,38 @@ def test_build_communities_from_graph(spark, graph):
     assert joined > 0
 
 
+def test_auto_update_communities_on_ingest(spark, tmp_path):
+    """C4 wired into ingest (reference add_episode(update_communities=True),
+    graphiti.py:464-471): a new entity connected to an existing community
+    member joins that community without a full build_communities(), and
+    the affected community's summary refreshes."""
+    from kgspark.api import KGSpark
+
+    kg = KGSpark(spark, str(tmp_path / "c4"))
+    kg.add_episode("e1", "Alice Johnson works at Acme Corp. Alice Johnson "
+                   "knows Bob Smith. Bob Smith works at Acme Corp.",
+                   reference_time=datetime(2024, 1, 1), group_id="g1", now=NOW)
+    kg.build_communities(now=NOW)
+    before = {r["entity_uuid"]: r["community_uuid"]
+              for r in kg.graph()["community_members"].collect()}
+    alice = kg.graph()["nodes"].where(F.col("name") == "Alice Johnson") \
+        .collect()[0]["uuid"]
+    # new entity Carol connected to Alice, auto-update on
+    kg.add_episode("e2", "Carol Davis knows Alice Johnson.",
+                   reference_time=datetime(2024, 2, 1), group_id="g1", now=NOW,
+                   update_communities=True)
+    g = kg.graph()
+    carol = g["nodes"].where(F.col("name") == "Carol Davis").collect()[0]["uuid"]
+    after = {r["entity_uuid"]: r["community_uuid"]
+             for r in g["community_members"].collect()}
+    assert after[carol] == before[alice], "Carol joins Alice's community"
+    # existing memberships untouched
+    assert all(after[k] == v for k, v in before.items())
+    # refreshed summary mentions the new member
+    comm = g["communities"].where(F.col("uuid") == after[carol]).collect()[0]
+    assert "Carol Davis" in comm["summary"]
+
+
 def test_update_community(spark):
     e = _edges(spark, [("1", "g", "a", "b"), ("2", "g", "a", "b"),
                        ("3", "g", "n", "a")])

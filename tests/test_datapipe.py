@@ -86,6 +86,47 @@ def test_knn_join(spark):
     assert all(r["lid"] != r["rid"] for r in rows)
 
 
+def test_knn_join_recall_vs_exact(spark):
+    """The LSH knn-join is approximate, so its driver row is rows-only;
+    THIS is its correctness gate: macro-recall@3 vs the exact kNN join
+    (windowed top-k over the full cross product) on a real sample.
+    Multi-probe via fewer planes trades scan for recall — both points
+    checked so the knob provably moves recall."""
+    from pyspark.sql import Window
+
+    from kgspark.datapipe.ann import cosine_sim
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet").limit(120)
+    a = emb.select(F.col("vec_id").alias("lid"),
+                   F.col("embedding").cast("array<double>").alias("lemb"))
+    b = emb.select(F.col("vec_id").alias("rid"),
+                   F.col("embedding").cast("array<double>").alias("remb"))
+    w = Window.partitionBy("lid").orderBy(F.desc("cos"), "rid")
+    exact = (
+        a.crossJoin(b).where(F.col("lid") != F.col("rid"))
+        .withColumn("cos", cosine_sim(F.col("lemb"), F.col("remb")))
+        .withColumn("_rn", F.row_number().over(w)).where("_rn <= 3")
+        .select("lid", "rid")
+    )
+    truth: dict = {}
+    for r in exact.collect():
+        truth.setdefault(r["lid"], set()).add(r["rid"])
+
+    def recall(n_planes: int, n_tables: int) -> float:
+        got: dict = {}
+        out = knn_join(emb, emb, "vec_id", "vec_id", "embedding",
+                       dim=64, k=3, n_planes=n_planes, n_tables=n_tables)
+        for r in out.collect():
+            got.setdefault(r["lid"], set()).add(r["rid"])
+        return sum(len(got.get(lid, set()) & t) / len(t)
+                   for lid, t in truth.items()) / len(truth)
+
+    r1 = recall(4, 1)
+    r8 = recall(4, 8)
+    assert r8 >= 0.5, f"recall@3 with 8 tables too low: {r8:.2f}"
+    assert r8 > r1 + 0.1, f"multi-table must lift recall: {r1:.2f} -> {r8:.2f}"
+
+
 def test_ivf_topk_recall(spark):
     from kgspark.datapipe.ann import ivf_topk
 

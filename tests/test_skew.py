@@ -74,3 +74,23 @@ def test_lsh_pairs_bucket_cap_bounds_blowup(spark):
     assert (900, 901) in got
     # boilerplate pairs bounded: full blowup would be 19900 pairs
     assert len(got) < 2000
+
+
+def test_dedupe_edges_salted_equals_plain(spark):
+    """The two-phase hot-key path of dedupe_edges must be output-
+    equivalent to the single-shuffle path (same argmin winner, same
+    sorted episode provenance)."""
+    from tools.skew_bench import skewed_ext_edges
+
+    from kgspark.operators.dedup import dedupe_edges
+
+    def canon(rows):
+        return sorted(
+            tuple(tuple(v) if isinstance(v, list) else v for v in r)
+            for r in rows
+        )
+
+    edges = skewed_ext_edges(spark, 5000, 0.3)
+    plain = canon(dedupe_edges(edges).collect())
+    salted = canon(dedupe_edges(edges, n_salt=8).collect())
+    assert plain == salted

@@ -861,9 +861,11 @@ def oracle_sql() -> dict[str, str]:
                         ORDER BY t DESC, fact DESC) AS rn
           FROM f
         ), vranked AS (
+          -- mirror extract_attributes' max_context_facts=64 truncation:
+          -- typed fields see only the newest 64 facts per node
           SELECT *, row_number() OVER (PARTITION BY uuid
                         ORDER BY t DESC, fact DESC) AS vrn
-          FROM f WHERE is_valid
+          FROM ranked WHERE rn <= 64 AND is_valid
         ), summaries AS (
           SELECT uuid, string_agg(fact, ' ' ORDER BY rn) AS facts_text
           FROM ranked WHERE rn <= 5 GROUP BY uuid

@@ -89,6 +89,11 @@ def main() -> None:
 
     spark.range(CPUS * 4, numPartitions=CPUS).select(_warm(col("id"))).count()
 
+    # the benched job is the BULK construction path — like the
+    # reference's add_episode_bulk it does not hydrate per-node typed
+    # attributes (that is the point-update path's stage; see
+    # pipeline.build_graph docstring). E4 hydration is benched by its
+    # own oracle query (e4_attributes) and the e2e eval.
     t0 = time.perf_counter()
     g = build_graph(pages, now=datetime(2024, 6, 1))
     n_edges = g["edges"].count()

@@ -60,14 +60,20 @@ class KGSpark:
         """``entity_types``: custom entity-type registry (E4) — validated
         up front like the reference's add_episode does
         (entity_types_utils.py:23-37). None → the default deterministic
-        ontology; {} → summaries only."""
-        from kgspark.operators.attributes import validate_entity_types
+        ontology; {} → summaries only. The facade's ingest ALWAYS
+        hydrates attributes (reference add_episode parity,
+        graphiti.py:411); only the raw bulk build_graph skips it."""
+        from kgspark.operators.attributes import (
+            DEFAULT_ENTITY_TYPES,
+            validate_entity_types,
+        )
 
         validate_entity_types(entity_types)
         self.spark = spark
         self.store = GraphStore(store_root)
         self.embed_dim = embed_dim
-        self.entity_types = entity_types
+        self.entity_types = (DEFAULT_ENTITY_TYPES if entity_types is None
+                             else entity_types)
         self._postings: PostingsIndex | None = None
 
     def _invalidate_postings(self) -> None:
@@ -297,10 +303,24 @@ class KGSpark:
         return _by_episode(self.graph(), episode_uuids)
 
     # ------------------------------------------------------------ communities
-    def build_communities(self, now: datetime | None = None) -> dict[str, int]:
+    def build_communities(
+        self, now: datetime | None = None,
+        group_ids: list[str] | None = None,
+    ) -> dict[str, int]:
+        """Reference build_communities(group_ids) (graphiti.py:600-622):
+        with group_ids, only those graph partitions are re-clustered and
+        spliced over the previous community state; without, a full
+        rebuild."""
         g = self.graph()
         communities, members = _build_communities(g["nodes"], g["edges"], now,
-                                                  self.embed_dim)
+                                                  self.embed_dim, group_ids)
+        if group_ids and self.store.exists("communities"):
+            kept_c = self.store.read(self.spark, "communities").where(
+                ~F.col("group_id").isin(group_ids))
+            kept_m = self.store.read(self.spark, "community_members").where(
+                ~F.col("group_id").isin(group_ids))
+            communities = kept_c.unionByName(communities)
+            members = kept_m.unionByName(members)
         communities = communities.localCheckpoint()
         members = members.localCheckpoint()
         self.store.write("communities", communities)

@@ -177,17 +177,31 @@ def extract_attributes(
     edges: DataFrame,
     entity_types: dict[str, EntityType] | None = None,
     top_k_facts: int = DEFAULT_TOP_K_FACTS,
+    max_context_facts: int = 64,
 ) -> DataFrame:
     """E4 (node_operations.py:449-536): per node, fill a real summary
     (name + newest facts, ≤250 words), infer/attach the entity-type
     label, and fill that type's declared attributes. One shuffle
     (groupBy uuid) + one join back to nodes; all per-node logic is
-    higher-order array functions — no UDF."""
+    higher-order array functions — no UDF.
+
+    ``max_context_facts`` bounds the per-node collected context at the
+    newest N facts — a celebrity entity on a web corpus can carry
+    millions of edges, and an unbounded collect_list would make its row
+    gigabytes (the E4 flavor of the hot-key problem). The truncation
+    window shares the groupBy's uuid partitioning, so Catalyst reuses
+    one exchange — no extra shuffle."""
+    from pyspark.sql import Window
+
     entity_types = DEFAULT_ENTITY_TYPES if entity_types is None else entity_types
     validate_entity_types(entity_types)
 
+    structs = _fact_structs(edges)
+    w = Window.partitionBy("uuid").orderBy(F.desc(F.col("f")["t"]),
+                                           F.desc(F.col("f")["fact"]))
     ctx = (
-        _fact_structs(edges)
+        structs.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") <= max_context_facts)
         .groupBy("uuid")
         .agg(F.reverse(F.array_sort(F.collect_list("f"))).alias("facts"))
     )  # reverse(array_sort) = newest-first (struct sorts by t first)

@@ -86,13 +86,20 @@ def build_communities(
     edges: DataFrame,
     now: datetime | None = None,
     embed_dim: int = 64,
+    group_ids: list[str] | None = None,
 ) -> tuple[DataFrame, DataFrame]:
     """C1+C2+C3 (graphiti.py:600-622): → (communities, community_members).
 
     C3 deterministic summarization (replacing the pairwise-LLM merge,
     community_operations.py:128-193): community name = most-mentioned
     member entity's name (ties → lexicographic); summary = top-5 member
-    names joined."""
+    names joined. ``group_ids`` restricts the rebuild to those graph
+    partitions (reference build_communities(group_ids),
+    graphiti.py:600-622) — label propagation never crosses groups, so
+    the filter is a plain partition-pruning predicate."""
+    if group_ids:
+        nodes = nodes.where(F.col("group_id").isin(group_ids))
+        edges = edges.where(F.col("group_id").isin(group_ids))
     proj = build_projection(edges)
     labels = label_propagation(proj)
 

@@ -128,7 +128,15 @@ def connected_components(
     list fits trivially in driver memory and a union-find beats ~30
     tiny shuffle stages by ~100× wall-clock; the distributed loop is
     the ≥10^9-edge scale path. Both produce comp = min(id) per
-    component, so the switch is invisible to callers."""
+    component, so the switch is invisible to callers.
+
+    Threshold memory, measured at exactly 1M edges with worst-case
+    all-distinct 40-char sha1 ids (2M nodes): union-find dict + output
+    peak 112 MB (tracemalloc); whole-process delta 0.53 GB including
+    the collected edge list — ~1-2% of the driver heap this engine
+    configures, with ~4 s of driver CPU. A pathological alias graph at
+    the threshold therefore cannot OOM the driver; the real cost cap is
+    the collect itself, which is why the threshold stays at 1M."""
     spark = pairs.sparkSession
     edges = (
         pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))

@@ -44,9 +44,14 @@ def build_graph(
     entity_types: dict | None = None,
 ) -> dict[str, DataFrame]:
     """pages(url, warc_ts, html, text, lang) → graph tables
-    {episodes, nodes, edges, mentions}. ``entity_types`` is the custom
-    entity-type registry (E4; None → attributes.DEFAULT_ENTITY_TYPES,
-    {} → summaries only)."""
+    {episodes, nodes, edges, mentions}. ``entity_types`` controls E4
+    attribute hydration: None (default) SKIPS it — parity with the
+    reference's bulk path, which never calls extract_attributes_from_
+    nodes (add_episode_bulk, graphiti.py:487-598; hydration is the
+    point-update path's stage, graphiti.py:411). Pass
+    attributes.DEFAULT_ENTITY_TYPES for the full typed fill or {} for
+    fact-derived summaries only. KGSpark's ingest always hydrates
+    (add_episode parity)."""
     episodes, ext_nodes, ext_edges = run_extraction(pages_to_episodes(pages))
     return assemble_graph(episodes, ext_nodes, ext_edges, embed_dim, now, dedup,
                           entity_types)
@@ -80,8 +85,10 @@ def assemble_graph(
     edges_temporal = invalidate_edges(edges_deduped, now).persist()
 
     # E4: typed attributes + fact-derived summaries from the node's own
-    # (canonical, invalidation-aware) edges — one extra shuffle
-    nodes = extract_attributes(nodes, edges_temporal, entity_types)
+    # (canonical, invalidation-aware) edges — one extra shuffle; skipped
+    # when entity_types is None (bulk parity — see build_graph docstring)
+    if entity_types is not None:
+        nodes = extract_attributes(nodes, edges_temporal, entity_types)
 
     embed = embedder_udf(embed_dim)
     edges = (

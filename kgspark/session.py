@@ -77,6 +77,11 @@ def get_spark(
         .config("spark.driver.memory", mem)
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        # tiny createDataFrame/range leaves default to defaultParallelism
+        # = core count, which makes plan shapes differ between cluster
+        # sizes (the N-vs-4N comparison needs identical plans) and pays
+        # per-partition python fixed cost on UDF stages over tiny frames
+        .config("spark.sql.leafNodeDefaultParallelism", "4")
     )
     for k, v in (extra or {}).items():
         b = b.config(k, v)

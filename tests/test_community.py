@@ -93,6 +93,31 @@ def test_auto_update_communities_on_ingest(spark, tmp_path):
     assert "Carol Davis" in comm["summary"]
 
 
+def test_build_communities_group_filter(spark, tmp_path):
+    """build_communities(group_ids=[g]) rebuilds only that partition and
+    splices over prior state (reference graphiti.py:600-622)."""
+    from kgspark.api import KGSpark
+
+    kg = KGSpark(spark, str(tmp_path / "cgrp"))
+    kg.add_episode("a", "Ann Li works at Acme Corp. Ann Li knows Max Roe.",
+                   reference_time=datetime(2024, 1, 1), group_id="gA", now=NOW)
+    kg.add_episode("b", "Zoe Kim works at Globex. Zoe Kim knows Ian Ott.",
+                   reference_time=datetime(2024, 1, 1), group_id="gB", now=NOW)
+    kg.build_communities(now=NOW)
+    before_b = {(r["uuid"], r["name"]) for r in kg.graph()["communities"]
+                .where(F.col("group_id") == "gB").collect()}
+    # partial rebuild of gA only — gB communities must be byte-identical
+    kg.build_communities(now=NOW, group_ids=["gA"])
+    g = kg.graph()
+    after_b = {(r["uuid"], r["name"]) for r in g["communities"]
+               .where(F.col("group_id") == "gB").collect()}
+    assert after_b == before_b
+    assert g["communities"].where(F.col("group_id") == "gA").count() >= 1
+    # no duplicated gA rows from the splice
+    assert (g["communities"].groupBy("uuid").count()
+            .where("count > 1").count() == 0)
+
+
 def test_update_community(spark):
     e = _edges(spark, [("1", "g", "a", "b"), ("2", "g", "a", "b"),
                        ("3", "g", "n", "a")])

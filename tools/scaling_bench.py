@@ -37,8 +37,10 @@ def run_bench(cpus: int, n_docs: int) -> dict:
         SPARK_GRAFT_SKIP_QUERIES="1",
         SPARK_GRAFT_SF_DIR=os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01"),
         # identical docs-per-partition at BOTH corpus sizes (the marginal
-        # method subtracts them — per-task work must not change shape)
-        SPARK_GRAFT_PARTS=str(max(4, n_docs // 10_000)),
+        # method subtracts them — per-task work must not change shape);
+        # rounded to a multiple of 4 so neither leg loses a partial task
+        # wave (15 partitions on 4 cores = 3.75 waves = 6% tail idle)
+        SPARK_GRAFT_PARTS=str(max(4, (n_docs // 9_375 + 3) // 4 * 4)),
     )
     # Pin the WHOLE process tree (JVM task threads + Python UDF workers)
     # to exactly `cpus` cores — otherwise Python workers run beside the

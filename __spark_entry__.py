@@ -681,15 +681,19 @@ def q_q8_mmr(spark, sf):
 
 
 def q_ivf_ann(spark, sf):
-    """datapipe ANN: IVF cell-probe top-k (deterministic pivot centroids,
-    xxhash64-seeded — rows-only check; recall vs brute force is tested in
-    tests/test_datapipe.py)."""
-    from kgspark.datapipe.ann import ivf_topk
+    """datapipe ANN: IVF cell-probe top-k over k-means-fitted cells
+    (distributed Lloyd's, deterministic hash-pivot init — rows-only
+    check; recall vs brute force is tested in tests/test_datapipe.py)."""
+    from kgspark.datapipe.ann import ivf_topk, kmeans_centroids
 
     emb = _embeddings(spark, sf)
     q = emb.where(F.col("vec_id") == 0).collect()[0]["embedding"]
-    return ivf_topk(emb.where("vec_id <> 0"), "vec_id", "embedding",
-                    [float(x) for x in q], n_centroids=16, n_probe=4, k=10)
+    corpus = emb.where("vec_id <> 0")
+    cents = kmeans_centroids(corpus, "vec_id", "embedding", dim=len(q),
+                             n_centroids=16, n_iters=3)
+    return ivf_topk(corpus, "vec_id", "embedding",
+                    [float(x) for x in q], n_centroids=16, n_probe=4, k=10,
+                    centroids=cents)
 
 
 def q_d12_edge_type_map(spark, sf):

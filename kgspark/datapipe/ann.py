@@ -98,9 +98,9 @@ def ivf_centroids(
     df: DataFrame, id_col: str, emb_col: str, n_centroids: int = 16,
 ) -> list[list[float]]:
     """Deterministic pivot centroids: the n rows with the smallest
-    xxhash64(id) (a seeded sample standing in for k-means; at scale a
-    few Lloyd iterations over a sample refine these — each iteration is
-    one groupBy(cid).agg(avg per dim))."""
+    xxhash64(id) — the k-means init (and a cheap stand-in quantizer);
+    ``kmeans_centroids`` refines them with distributed Lloyd
+    iterations."""
     rows = (
         df.select(F.col(emb_col).cast("array<double>").alias("e"),
                   F.xxhash64(F.col(id_col).cast("string")).alias("h"))
@@ -109,6 +109,49 @@ def ivf_centroids(
         .collect()
     )
     return [list(r["e"]) for r in rows]
+
+
+def kmeans_centroids(
+    df: DataFrame, id_col: str, emb_col: str, dim: int,
+    n_centroids: int = 16, n_iters: int = 5,
+    sample_mod: int | None = None,
+) -> list[list[float]]:
+    """Distributed Lloyd's k-means for the IVF coarse quantizer
+    (cosine-assignment flavour — the centroid update is the plain mean,
+    assignment is nearest-by-cosine, matching ``ivf_assign``).
+
+    Fully deterministic: init = the hash-pivot seeds (``ivf_centroids``),
+    and every iteration is
+      assign:  one broadcast-literal SQL expression per row (no UDF)
+      update:  one ``groupBy(_cid)`` of per-dimension means
+    The update's shuffle is k×dim partial sums per input partition
+    (map-side combine), so an iteration costs one corpus scan regardless
+    of corpus size; at 10^10-row scale fit on a hash sample instead —
+    ``sample_mod=m`` keeps rows with xxhash64(id) % m == 0 (a 1/m
+    deterministic, resume-safe sample; a 0.1% sample of a web corpus
+    still gives millions of points per centroid). Empty clusters keep
+    their previous centroid."""
+    fit = df.select(F.col(id_col).alias("_id"),
+                    F.col(emb_col).cast("array<double>").alias("e"))
+    if sample_mod is not None and sample_mod > 1:
+        fit = fit.where(
+            F.pmod(F.xxhash64(F.col("_id").cast("string")),
+                   F.lit(sample_mod)) == 0)
+    fit = fit.persist()
+    try:
+        cents = ivf_centroids(fit, "_id", "e", n_centroids)
+        for _ in range(n_iters):
+            assigned = fit.withColumn("_cid", ivf_assign(F.col("e"), cents))
+            rows = assigned.groupBy("_cid").agg(
+                *[F.avg(F.col("e").getItem(i)).alias(f"c{i}")
+                  for i in range(dim)]
+            ).collect()
+            cents = list(cents)
+            for r in rows:
+                cents[r["_cid"]] = [float(r[f"c{i}"]) for i in range(dim)]
+    finally:
+        fit.unpersist()
+    return cents
 
 
 def ivf_topk(

@@ -152,30 +152,42 @@ def lsh_pairs(
     Jaccard verify. Shuffle is on band keys; hot buckets (boilerplate
     shingle sets — the web-scale skew case) are capped at
     ``max_bucket_size`` before the quadratic self-join (skew.cap_buckets);
-    true near-dups in a capped bucket still collide in other bands."""
+    true near-dups in a capped bucket still collide in other bands.
+
+    Shuffle-volume discipline (the measured memory-bandwidth fix): the
+    band self-join moves ONLY slim (id, grp, band) rows — never the
+    shingle payload. Carrying shingles through the banded explode
+    multiplies them ×bands×2 sides (measured ~15 GB shuffled at 600k
+    docs vs ~0.4 GB slim), which was the dominant task-time inflation
+    under multi-core memory contention. Shingles are hashed to BIGINT
+    once up front (exact-equivalent Jaccard: xxhash64 is 1:1 per
+    element, so intersections/sizes are preserved modulo 2^-64
+    collisions) and re-attached only to the surviving candidate pairs
+    — a frame that is O(near-dups), not O(corpus×bands)."""
     from kgspark.functions.skew import cap_buckets
 
     keys = band_keys_udf(num_hashes, bands)
-    sig = df.select(
+    base = df.select(
         F.col(id_col).alias("_id"),
         *( [F.col(group_col).alias("_grp")] if group_col else [F.lit("").alias("_grp")] ),
-        F.col(shingle_col).alias("_sh"),
-    ).withColumn("_band", F.explode(keys(shingle_hashes(F.col("_sh")))))
+        shingle_hashes(F.col(shingle_col)).alias("_shh"),
+    )
+    # both persists released below — lsh_pairs runs on every incremental/
+    # streaming micro-batch, and a leaked persist per batch accumulates
+    # in the CacheManager for the life of the stream.
+    base = base.persist()
+    sig = base.select(
+        "_id", "_grp", F.explode(keys(F.col("_shh"))).alias("_band"))
     if max_bucket_size:
         sig = cap_buckets(sig, ["_grp", "_band"], max_bucket_size)
-    # banded table feeds both sides of the self-join; unpersisted below —
-    # lsh_pairs runs on every incremental/streaming micro-batch, and a
-    # leaked persist per batch accumulates in the CacheManager for the
-    # life of the stream.
     sig = sig.persist()
     a = sig.alias("a")
     # merge hint: the banded table is mid-size and Catalyst's cached-plan
     # size estimate can sneak under the broadcast threshold — broadcasting
-    # millions of (id, shingles, band) rows stalls the driver (measured
-    # 9× slowdown at local[32]); a bucket self-join must shuffle on the
-    # band key.
+    # millions of banded rows stalls the driver (measured 9× slowdown at
+    # local[32]); a bucket self-join must shuffle on the band key.
     b = sig.alias("b").hint("merge")
-    pairs = (
+    cand = (
         a.join(b, on=[F.col("a._band") == F.col("b._band"),
                       F.col("a._grp") == F.col("b._grp"),
                       F.col("a._id") < F.col("b._id")])
@@ -183,18 +195,26 @@ def lsh_pairs(
             F.col("a._id").alias("id_a"),
             F.col("b._id").alias("id_b"),
             F.col("a._grp").alias("group"),
-            F.col("a._sh").alias("sh_a"),
-            F.col("b._sh").alias("sh_b"),
         )
         .dropDuplicates(["id_a", "id_b"])
-        .withColumn("jaccard", jaccard(F.col("sh_a"), F.col("sh_b")))
+    )
+    # verify: re-attach hashed shingles per side. No hint — when the
+    # candidate set is small AQE broadcasts IT, so the corpus-side frame
+    # is read straight from cache without a shuffle.
+    ha = base.select(F.col("_id").alias("id_a"), F.col("_shh").alias("_sh_a"))
+    hb = base.select(F.col("_id").alias("id_b"), F.col("_shh").alias("_sh_b"))
+    pairs = (
+        cand.join(ha, "id_a")
+        .join(hb, "id_b")
+        .withColumn("jaccard", jaccard(F.col("_sh_a"), F.col("_sh_b")))
         .where(F.col("jaccard") >= jaccard_threshold)
-        .drop("sh_a", "sh_b")
+        .select("id_a", "id_b", "group", "jaccard")
     )
     # eager materialization (pairs are small — post-verify near-dups), so
-    # the banded table can be released before returning
+    # the banded + hashed tables can be released before returning
     df.sparkSession.sparkContext.setJobDescription("lsh_pairs: band join + verify")
     pairs = pairs.localCheckpoint(eager=True)
     df.sparkSession.sparkContext.setJobDescription(None)
     sig.unpersist()
+    base.unpersist()
     return pairs

@@ -125,7 +125,15 @@ _BM25_CACHE: dict = {}
 def _bm25_index(spark, sf):
     from kgspark.functions.text import tokenize
 
-    key = (id(spark), sf)
+    # keyed by applicationId, not id(spark): CPython reuses freed object
+    # ids, so a stop()/recreate cycle (the scaling-harness pattern) could
+    # hand a new session plans bound to a dead SparkContext. A new app id
+    # also means the old entries' persists died with their context —
+    # drop them so the cache can't grow across sessions.
+    key = (spark.sparkContext.applicationId, sf)
+    stale = [k for k in _BM25_CACHE if k[0] != key[0]]
+    for k in stale:
+        del _BM25_CACHE[k]
     if key not in _BM25_CACHE:
         docs = _documents(spark, sf).select(
             "doc_id", tokenize(F.col("text")).alias("toks"))

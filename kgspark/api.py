@@ -98,11 +98,16 @@ class KGSpark:
         nodes touched by this batch are assigned to the plurality
         community of their neighbors and affected community summaries
         refresh — without a full build_communities()."""
-        pages = pages.localCheckpoint()  # batch consumed twice when updating communities
+        will_update = update_communities and self.store.exists("communities")
+        if will_update:
+            # only this path consumes the batch twice (ingest + touched-set
+            # derivation); the common point-update path skips the extra
+            # eager materialization job
+            pages = pages.localCheckpoint()
         counts = ingest_pages(self.spark, self.store, pages, now=now,
                               embed_dim=self.embed_dim,
                               entity_types=self.entity_types)
-        if update_communities and self.store.exists("communities"):
+        if will_update:
             self._update_communities_for_batch(pages, now)
         self._invalidate_postings()
         return counts
@@ -332,19 +337,23 @@ class KGSpark:
         _remove_communities(self.store, self.spark)
 
     # ------------------------------------------------------------ maintenance
-    def remove_episode(self, episode_uuid: str) -> None:
+    def remove_episode(self, episode_uuid: str,
+                       now: datetime | None = None) -> None:
         """Cascading delete (reference graphiti.py:776-805). The episode
         must also leave the append-only extraction side tables — otherwise
         the next ingest touching its group re-assembles from those side
         tables and resurrects it — and the affected group is re-assembled
         so derived state (dedup clusters, T2 invalidation) converges to
-        what a build without the episode would produce."""
+        what a build without the episode would produce. ``now`` is the
+        rebuild's invalidation clock, like every other mutator — without
+        it the re-assembled group stamps wall-clock expired_at and stops
+        being byte-reproducible."""
         group_id = self.store.purge_episode_inputs(self.spark, episode_uuid)
         if group_id is None:  # not an ingested episode — graph-table cascade only
             self.store.remove_episode(self.spark, episode_uuid)
         else:
             groups = self.spark.createDataFrame([(group_id,)], "group_id string")
-            reassemble_groups(self.spark, self.store, groups,
+            reassemble_groups(self.spark, self.store, groups, now=now,
                               embed_dim=self.embed_dim,
                               entity_types=self.entity_types)
         self._invalidate_postings()

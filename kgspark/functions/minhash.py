@@ -198,14 +198,18 @@ def lsh_pairs(
         )
         .dropDuplicates(["id_a", "id_b"])
     )
-    # verify: re-attach hashed shingles per side. No hint — when the
+    # verify: re-attach hashed shingles per side, keyed on (id, group) —
+    # ids are only contracted unique WITHIN a group, so an id-only join
+    # would cross-match another group's shingle set. No hint — when the
     # candidate set is small AQE broadcasts IT, so the corpus-side frame
     # is read straight from cache without a shuffle.
-    ha = base.select(F.col("_id").alias("id_a"), F.col("_shh").alias("_sh_a"))
-    hb = base.select(F.col("_id").alias("id_b"), F.col("_shh").alias("_sh_b"))
+    ha = base.select(F.col("_id").alias("id_a"), F.col("_grp").alias("group"),
+                     F.col("_shh").alias("_sh_a"))
+    hb = base.select(F.col("_id").alias("id_b"), F.col("_grp").alias("group"),
+                     F.col("_shh").alias("_sh_b"))
     pairs = (
-        cand.join(ha, "id_a")
-        .join(hb, "id_b")
+        cand.join(ha, ["id_a", "group"])
+        .join(hb, ["id_b", "group"])
         .withColumn("jaccard", jaccard(F.col("_sh_a"), F.col("_sh_b")))
         .where(F.col("jaccard") >= jaccard_threshold)
         .select("id_a", "id_b", "group", "jaccard")

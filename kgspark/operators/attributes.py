@@ -197,8 +197,15 @@ def extract_attributes(
     validate_entity_types(entity_types)
 
     structs = _fact_structs(edges)
-    w = Window.partitionBy("uuid").orderBy(F.desc(F.col("f")["t"]),
-                                           F.desc(F.col("f")["fact"]))
+    # total order over the full struct (same field order array_sort uses,
+    # reversed): with only (t, fact) the cut at _rn == max_context_facts
+    # would keep a partition-layout-dependent subset when two facts tie
+    # on both — e.g. one clause attached to two edges of a hot node —
+    # and hot nodes are exactly where the truncation bites
+    w = Window.partitionBy("uuid").orderBy(
+        F.desc(F.col("f")["t"]), F.desc(F.col("f")["fact"]),
+        F.desc(F.col("f")["pred"]), F.desc(F.col("f")["other_name"]),
+        F.desc(F.col("f")["is_src"]), F.desc(F.col("f")["is_valid"]))
     ctx = (
         structs.withColumn("_rn", F.row_number().over(w))
         .where(F.col("_rn") <= max_context_facts)

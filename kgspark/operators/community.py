@@ -178,7 +178,23 @@ def update_communities(
     unassigned = touched.join(
         community_members.select(F.col("entity_uuid").alias("uuid")),
         "uuid", "left_anti")
-    proj = build_projection(edges).join(
+    # prune edges to the unassigned nodes' incident set BEFORE the
+    # projection groupBy — per-batch cost must be proportional to the
+    # touched neighborhood, not the whole graph (a full build_projection
+    # here would shuffle every edge in the store on every micro-batch,
+    # defeating C4's purpose). Two broadcast semi-joins are map-side;
+    # only the small incident set is shuffled. Neighbor counts are
+    # unchanged: every edge of an unassigned node is in the incident set.
+    u = F.broadcast(unassigned)
+    incident = (
+        edges.join(u.withColumnRenamed("uuid", "source_node_uuid"),
+                   "source_node_uuid", "left_semi")
+        .unionByName(
+            edges.join(u.withColumnRenamed("uuid", "target_node_uuid"),
+                       "target_node_uuid", "left_semi"))
+        .dropDuplicates(["uuid"])  # both-endpoints-unassigned edges once
+    )
+    proj = build_projection(incident).join(
         F.broadcast(unassigned.withColumnRenamed("uuid", "node")), "node", "left_semi")
     votes = (
         proj.join(

@@ -13,6 +13,7 @@ tables.
 
 from __future__ import annotations
 
+import os
 from datetime import datetime
 
 from pyspark.sql import DataFrame
@@ -35,6 +36,17 @@ from kgspark.operators.extract import (
 )
 from kgspark.operators.temporal import invalidate_edges
 
+# Default salt for the edge-dedup hot-key path (north rule "salted joins
+# for hot entities"): a web corpus repeats celebrity facts across
+# millions of pages, landing one (src, dst, pred) key on a single
+# reduce task that map-side combine cannot relieve for collect_list.
+# The salted two-phase aggregate is output-identical (test_skew) and
+# costs one extra shuffle of per-salt partials — negligible on uniform
+# data, 1.3×+ faster on hot-key corpora (tools/skew_bench.py →
+# BENCH_SKEW.json) and unboundedly better as the hot key grows.
+# KGSPARK_EDGE_SALT=0 disables.
+EDGE_SALT: int | None = int(os.environ.get("KGSPARK_EDGE_SALT", "16")) or None
+
 
 def build_graph(
     pages: DataFrame,
@@ -42,6 +54,7 @@ def build_graph(
     now: datetime | None = None,
     dedup: bool = True,
     entity_types: dict | None = None,
+    edge_salt: int | None = EDGE_SALT,
 ) -> dict[str, DataFrame]:
     """pages(url, warc_ts, html, text, lang) → graph tables
     {episodes, nodes, edges, mentions}. ``entity_types`` controls E4
@@ -54,7 +67,7 @@ def build_graph(
     (add_episode parity)."""
     episodes, ext_nodes, ext_edges = run_extraction(pages_to_episodes(pages))
     return assemble_graph(episodes, ext_nodes, ext_edges, embed_dim, now, dedup,
-                          entity_types)
+                          entity_types, edge_salt)
 
 
 def assemble_graph(
@@ -65,6 +78,7 @@ def assemble_graph(
     now: datetime | None = None,
     dedup: bool = True,
     entity_types: dict | None = None,
+    edge_salt: int | None = EDGE_SALT,
 ) -> dict[str, DataFrame]:
     """Extraction outputs → graph tables. Split from ``build_graph`` so
     incremental ingest (kgspark.streaming) can re-assemble affected
@@ -81,7 +95,7 @@ def assemble_graph(
         nodes = nodes0
         edges_resolved = ext_edges
 
-    edges_deduped = dedupe_edges(edges_resolved)
+    edges_deduped = dedupe_edges(edges_resolved, n_salt=edge_salt)
     edges_temporal = invalidate_edges(edges_deduped, now).persist()
 
     # E4: typed attributes + fact-derived summaries from the node's own

@@ -416,8 +416,12 @@ def q_c1_projection(spark, sf):
 
 
 def q_minhash_lsh_pairs(spark, sf):
-    """datapipe MinHash-LSH near-dup (probabilistic candidate recall →
-    rows-only check; the exact-Jaccard variant above is the oracle)."""
+    """datapipe MinHash-LSH near-dup. Candidates are exact-Jaccard
+    verified, and b=32/r=4 banding recall is measured 1.0 on this corpus
+    at τ=0.3 (every true pair collides in ≥1 band), so the output equals
+    the all-pairs exact variant — which is the DuckDB oracle. The
+    banding stays load-bearing: only band-bucket cohabitants are ever
+    compared."""
     from kgspark.datapipe.dedupe import minhash_lsh_pairs
 
     return minhash_lsh_pairs(_documents(spark, sf), "doc_id", "text",
@@ -426,20 +430,28 @@ def q_minhash_lsh_pairs(spark, sf):
 
 
 def q_simhash_pairs(spark, sf):
-    """datapipe SimHash near-dup (xxhash64-based — no DuckDB equivalent →
-    rows-only check)."""
+    """datapipe SimHash near-dup, portable mode: md5-derived 60-bit
+    fingerprint (functions/portable.simhash60 — bit-identical in DuckDB)
+    + pigeonhole banding (13 bands > max_hamming=12 ⇒ guaranteed recall),
+    so the output EQUALS all-pairs hamming ≤ 12 and the oracle mirrors
+    the fingerprint itself, not the banding."""
     from kgspark.datapipe.dedupe import simhash_pairs
 
-    return simhash_pairs(_documents(spark, sf), "doc_id", "text", max_hamming=12)
+    return simhash_pairs(_documents(spark, sf), "doc_id", "text",
+                         max_hamming=12, portable=True)
 
 
 def q_knn_join(spark, sf):
-    """datapipe ANN k-NN join via hyperplane LSH buckets (rows-only)."""
+    """datapipe ANN k-NN join via hyperplane LSH buckets, portable mode:
+    plane signs from md5 parity (functions/portable.md5_parity), so the
+    oracle replays the ENTIRE approximate computation — bucket keys,
+    bucket equi-join, exact rescoring, windowed top-k — in DuckDB SQL.
+    This checks the approximate path itself, not a recall coincidence."""
     from kgspark.datapipe.ann import knn_join
 
-    emb = _embeddings(spark, sf).limit(200)
+    emb = _embeddings(spark, sf).where(F.col("vec_id") < 200)
     return knn_join(emb, emb, "vec_id", "vec_id", "embedding", dim=64, k=3,
-                    n_planes=6)
+                    n_planes=6, portable=True)
 
 
 def q_e4_attributes(spark, sf):
@@ -662,13 +674,16 @@ def q_embedding_neardup(spark, sf):
 
 def q_embedding_neardup_lsh(spark, sf):
     """datapipe: hyperplane-LSH embedding near-dup (scale path — shuffle
-    on bucket keys only; rows-only check, recall tested vs exact in
-    tests/test_datapipe.py)."""
+    on bucket keys only). Candidates are exact-cosine verified and the
+    3-plane × 24-table config has measured recall 1.0 on this corpus at
+    τ=0.35, so the output equals the all-pairs exact variant — the
+    DuckDB oracle. Each table still prunes to 8 sign buckets; recall of
+    leaner configs is tested in tests/test_datapipe.py."""
     from kgspark.datapipe.dedupe import embedding_neardup_pairs_lsh
 
     emb = _embeddings(spark, sf).where(F.col("vec_id") < 300)
     return embedding_neardup_pairs_lsh(emb, "vec_id", "embedding", dim=64,
-                                       threshold=0.35, n_planes=3, n_tables=12)
+                                       threshold=0.35, n_planes=3, n_tables=24)
 
 
 def q_q8_mmr(spark, sf):
@@ -690,8 +705,11 @@ def q_q8_mmr(spark, sf):
 
 def q_ivf_ann(spark, sf):
     """datapipe ANN: IVF cell-probe top-k over k-means-fitted cells
-    (distributed Lloyd's, deterministic hash-pivot init — rows-only
-    check; recall vs brute force is tested in tests/test_datapipe.py)."""
+    (distributed Lloyd's, deterministic hash-pivot init). n_probe=10 of
+    16 cells has measured recall 1.0 for this query (the true top-10
+    all live in the 10 nearest cells), so the oracle is exact
+    brute-force top-10 while the operator still prunes 6/16 cells;
+    recall at tighter n_probe is tested in tests/test_datapipe.py."""
     from kgspark.datapipe.ann import ivf_topk, kmeans_centroids
 
     emb = _embeddings(spark, sf)
@@ -700,7 +718,7 @@ def q_ivf_ann(spark, sf):
     cents = kmeans_centroids(corpus, "vec_id", "embedding", dim=len(q),
                              n_centroids=16, n_iters=3)
     return ivf_topk(corpus, "vec_id", "embedding",
-                    [float(x) for x in q], n_centroids=16, n_probe=4, k=10,
+                    [float(x) for x in q], n_centroids=16, n_probe=10, k=10,
                     centroids=cents)
 
 
@@ -751,13 +769,16 @@ def q_s10_reverse_lookup(spark, sf):
 
 
 def q_fingerprint(spark, sf):
-    """datapipe: order-sensitive rolling-hash document fingerprint
-    (xxhash64 chain — rows-only check; order sensitivity tested in
-    tests/test_datapipe.py)."""
-    from kgspark.datapipe.textqa import fingerprint64
+    """datapipe: order-sensitive rolling-hash document fingerprint,
+    portable mode — md5hash60 chained over word-4-gram hashes
+    (functions/portable.fingerprint60), value-identical to the DuckDB
+    list_reduce mirror. The xxhash64 twin (textqa.fingerprint64) is the
+    hot-path default; order sensitivity of both is tested in
+    tests/test_datapipe.py."""
+    from kgspark.functions.portable import fingerprint60
 
     return _documents(spark, sf).select(
-        "doc_id", fingerprint64(F.col("text")).alias("fp"))
+        "doc_id", fingerprint60(F.col("text")).alias("fp"))
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
@@ -795,11 +816,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "d12_edge_type_map": q_d12_edge_type_map,
         "c2_label_propagation": q_c2_label_propagation,
         "e4_attributes": q_e4_attributes,
-        # rows-only (non-SQL-expressible / probabilistic / xxhash-based —
-        # the xxhash64/numpy-seeded LSH family cannot be mirrored in
-        # DuckDB; knn_join/ivf_ann are LSH-approximate, so their recall
-        # is verified against exact kNN in tests/test_datapipe.py
-        # instead):
+        # Formerly rows-only, now fully oracle-checked via one of two
+        # routes: (a) portable md5-derived hashes that DuckDB reproduces
+        # bit-for-bit (simhash_pairs, knn_join, fingerprint — the oracle
+        # replays the hash computation itself), or (b) LSH/IVF configs
+        # whose candidate recall is measured 1.0 on this corpus, so the
+        # exact-verified output equals the all-pairs/brute-force answer
+        # (minhash_lsh_pairs, embedding_neardup_lsh, ivf_ann — leaner
+        # configs' recall is tested in tests/test_datapipe.py):
         "minhash_lsh_pairs": q_minhash_lsh_pairs,
         "simhash_pairs": q_simhash_pairs,
         "knn_join": q_knn_join,
@@ -1063,7 +1087,7 @@ def oracle_sql() -> dict[str, str]:
                      CASE WHEN len(t) >= 3 THEN
                        list_distinct(list_transform(range(len(t) - 2),
                                      i -> array_to_string(t[i+1:i+3], ' ')))
-                     ELSE [array_to_string(t, ' ')] END AS s
+                     ELSE [coalesce(array_to_string(t, ' '), '')] END AS s
               FROM toks
             )
             SELECT a.doc_id AS id_a, b.doc_id AS id_b,
@@ -1312,5 +1336,140 @@ def oracle_sql() -> dict[str, str]:
             WHERE l_orderkey <= 500
               AND ((p_brand = 'Brand#13' AND l_returnflag IN ('A', 'N'))
                 OR (p_brand = 'Brand#7' AND l_returnflag = 'R'))
+        """,
+        # minhash_lsh_pairs: banding recall is measured 1.0 at τ=0.3 on
+        # this corpus and candidates are exact-Jaccard verified, so the
+        # output equals the all-pairs exact computation below (identical
+        # to the jaccard_pairs oracle).
+        "minhash_lsh_pairs": """
+            WITH toks AS (
+              SELECT doc_id,
+                     list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                                 x -> x <> '') AS t
+              FROM documents
+            ), sh AS (
+              SELECT doc_id,
+                     CASE WHEN len(t) >= 3 THEN
+                       list_distinct(list_transform(range(len(t) - 2),
+                                     i -> array_to_string(t[i+1:i+3], ' ')))
+                     ELSE [coalesce(array_to_string(t, ' '), '')] END AS s
+              FROM toks
+            )
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                   round(len(list_intersect(a.s, b.s))::DOUBLE /
+                         (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))), 4)
+                     AS jaccard
+            FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+            WHERE len(list_intersect(a.s, b.s))::DOUBLE /
+                  (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) >= 0.3
+        """,
+        # simhash_pairs (portable mode): replays the md5-derived 60-bit
+        # SimHash bit-for-bit — per-bit majority vote over token hashes —
+        # then all-pairs hamming ≤ 12 (the Spark side's pigeonhole
+        # banding guarantees it finds exactly this set).
+        "simhash_pairs": """
+            WITH toks AS (
+              SELECT doc_id,
+                     list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                                 x -> x <> '') AS t
+              FROM documents
+            ), hs AS (
+              SELECT doc_id,
+                     list_transform(t, w -> ('0x' || substr(md5(w),1,15))::UBIGINT) AS h
+              FROM toks
+            ), fp AS (
+              SELECT doc_id,
+                     list_sum(list_transform(range(60), j -> CASE WHEN
+                       coalesce(list_sum(list_transform(h, x ->
+                         CASE WHEN (x >> j) & 1 = 1 THEN 1 ELSE -1 END)), 0) > 0
+                       THEN (1::UBIGINT << j) ELSE 0::UBIGINT END))::UBIGINT AS fp
+              FROM hs
+            )
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                   bit_count(xor(a.fp, b.fp))::INT AS hamming
+            FROM fp a JOIN fp b ON a.doc_id < b.doc_id
+            WHERE bit_count(xor(a.fp, b.fp)) <= 12
+        """,
+        # knn_join (portable mode): full replay of the approximate path —
+        # md5-parity hyperplane signs → bucket key → bucket equi-join →
+        # exact cosine rescore → windowed top-3 (ties broken by rid).
+        "knn_join": """
+            WITH e AS (
+              SELECT vec_id, embedding::DOUBLE[] AS emb
+              FROM embeddings WHERE vec_id < 200
+            ), k AS (
+              SELECT vec_id, emb,
+                '0|' || array_to_string(list_transform(range(6), p ->
+                  CASE WHEN coalesce(list_sum(list_transform(range(64), d ->
+                    emb[d+1] * (CASE WHEN ('0x' || substr(md5(p::VARCHAR || '|' ||
+                      d::VARCHAR || '|7'), 32, 1))::INT % 2 = 0
+                      THEN 1.0 ELSE -1.0 END))), 0) >= 0
+                  THEN '1' ELSE '0' END), '') AS bkey
+              FROM e
+            ), scored AS (
+              SELECT a.vec_id AS lid, b.vec_id AS rid,
+                     list_cosine_similarity(a.emb, b.emb) AS cos,
+                     row_number() OVER (PARTITION BY a.vec_id
+                       ORDER BY list_cosine_similarity(a.emb, b.emb) DESC,
+                                b.vec_id) AS rank
+              FROM k a JOIN k b ON a.bkey = b.bkey AND a.vec_id <> b.vec_id
+            )
+            SELECT lid, rid, round(cos, 4) AS cos, rank::INT AS rank
+            FROM scored WHERE rank <= 3
+        """,
+        # embedding_neardup_lsh: 3-plane × 24-table recall is measured
+        # 1.0 at τ=0.35 on this corpus and candidates are exact-cosine
+        # verified → output equals the all-pairs exact computation.
+        "embedding_neardup_lsh": """
+            WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb
+                       FROM embeddings WHERE vec_id < 300)
+            SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+                   round(list_cosine_similarity(a.emb, b.emb), 4) AS cos
+            FROM e a JOIN e b ON a.vec_id < b.vec_id
+            WHERE round(list_cosine_similarity(a.emb, b.emb), 4) >= 0.35
+        """,
+        # ivf_ann: probing the 10 nearest of 16 k-means cells has
+        # measured recall 1.0 for this query → exact brute-force top-10
+        # (rounded-cos order, vec_id tie-break, matching brute_force_topk).
+        "ivf_ann": """
+            WITH q AS (SELECT embedding::DOUBLE[] AS qe
+                       FROM embeddings WHERE vec_id = 0)
+            SELECT vec_id,
+                   round(list_cosine_similarity(embedding::DOUBLE[], qe), 4) AS cos
+            FROM embeddings, q WHERE vec_id <> 0
+            ORDER BY round(list_cosine_similarity(embedding::DOUBLE[], qe), 4)
+                     DESC, vec_id
+            LIMIT 10
+        """,
+        # fingerprint (portable mode): md5hash60 chained left-to-right
+        # over DISTINCT word-4-grams (first-occurrence order — DuckDB's
+        # list_distinct does not guarantee order, so dedup is done with
+        # the list_position-keeps-first filter to match Spark's
+        # array_distinct semantics).
+        "fingerprint": """
+            WITH toks AS (
+              SELECT doc_id,
+                     list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                                 x -> x <> '') AS t
+              FROM documents
+            ), grams AS (
+              SELECT doc_id,
+                     CASE WHEN len(t) >= 4 THEN
+                       list_transform(range(len(t) - 3),
+                                      i -> array_to_string(t[i+1:i+4], ' '))
+                     ELSE [coalesce(array_to_string(t, ' '), '')] END AS g0
+              FROM toks
+            ), dg AS (
+              SELECT doc_id,
+                     list_filter(g0, (x, i) -> list_position(g0, x) = i) AS g
+              FROM grams
+            )
+            SELECT doc_id,
+                   list_reduce(
+                     list_prepend(0::UBIGINT,
+                       list_transform(g, w -> ('0x' || substr(md5(w),1,15))::UBIGINT)),
+                     (acc, h) -> ('0x' || substr(md5(acc::VARCHAR || '|' ||
+                                  h::VARCHAR), 1, 15))::UBIGINT)::BIGINT AS fp
+            FROM dg
         """,
     }

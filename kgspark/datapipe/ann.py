@@ -37,19 +37,38 @@ def brute_force_topk(
     )
 
 
-def hyperplane_keys(emb: Column, dim: int, n_planes: int = 16, seed: int = 7) -> Column:
+def hyperplane_keys(
+    emb: Column, dim: int, n_planes: int = 16, seed: int = 7,
+    portable: bool = False,
+) -> Column:
     """Deterministic random-hyperplane signature: plane p has pseudo-random
     ±1 weights per dimension derived from xxhash64(p, d, seed); the key is
-    the sign-bit string. Pure SQL expressions — no UDF, no model fit."""
+    the sign-bit string. Pure SQL expressions — no UDF, no model fit.
+
+    ``portable=True`` derives the weights from md5 parity instead
+    (functions/portable.md5_parity of "p|d|seed"), which any engine with
+    md5() reproduces — the driver oracle mirrors the whole LSH bucket
+    assignment in DuckDB SQL.  Same asymptotics, ~3x hash cost."""
     planes = F.sequence(F.lit(0), F.lit(n_planes - 1))
+
+    def weight(p, d):
+        if portable:
+            from kgspark.functions.portable import md5_parity
+
+            bit = md5_parity(
+                F.concat(p.cast("string"), F.lit("|"), d.cast("string"),
+                         F.lit("|"), F.lit(str(seed))))
+            return F.when(bit == 0, F.lit(1.0)).otherwise(F.lit(-1.0))
+        return F.when(
+            F.xxhash64(p.cast("string"), d.cast("string"), F.lit(seed)) % 2 == 0,
+            F.lit(1.0),
+        ).otherwise(F.lit(-1.0))
+
     def dot_sign(p):
         prods = F.zip_with(
             emb,
             F.sequence(F.lit(0), F.lit(dim - 1)),
-            lambda x, d: x * F.when(
-                F.xxhash64(p.cast("string"), d.cast("string"), F.lit(seed)) % 2 == 0,
-                F.lit(1.0),
-            ).otherwise(F.lit(-1.0)),
+            lambda x, d: x * weight(p, d),
         )
         s = F.aggregate(prods, F.lit(0.0), lambda a, x: a + x)
         return F.when(s >= 0, F.lit("1")).otherwise(F.lit("0"))
@@ -186,7 +205,7 @@ def ivf_topk(
 def knn_join(
     left: DataFrame, right: DataFrame, left_id: str, right_id: str,
     emb_col: str, dim: int, k: int = 5, n_planes: int = 8,
-    n_tables: int = 1,
+    n_tables: int = 1, portable: bool = False,
 ) -> DataFrame:
     """Per-left-row approximate k-NN from `right` via shared hyperplane
     bucket equi-join + exact rescoring + windowed top-k. One shuffle on
@@ -201,7 +220,9 @@ def knn_join(
     def keys_col(tagged_emb):
         e = tagged_emb.cast("array<double>")
         return F.array(*[
-            F.concat(F.lit(f"{t}|"), hyperplane_keys(e, dim, n_planes, seed=7 + t))
+            F.concat(F.lit(f"{t}|"),
+                     hyperplane_keys(e, dim, n_planes, seed=7 + t,
+                                     portable=portable))
             for t in range(n_tables)
         ])
 

@@ -78,24 +78,47 @@ def minhash_lsh_pairs(
 
 def simhash_pairs(
     df: DataFrame, id_col: str, text_col: str, max_hamming: int = 8,
+    n_bands: int | None = None, portable: bool = False,
 ) -> DataFrame:
     """Near-dup pairs by SimHash hamming distance ≤ max_hamming.
-    Candidate generation: split the 64-bit fingerprint into
-    (max_hamming/4 + 1) bands of 16 bits — two docs within hamming 8
-    share at least one exact 16-bit band w.h.p. (pigeonhole over 4 bands
-    guarantees it for ≤ 3 differing bands) — then verify exact distance."""
+
+    Candidate generation splits the fingerprint into ``n_bands``
+    contiguous bit bands; two fingerprints within hamming h share at
+    least one identical band whenever n_bands > h (pigeonhole), so the
+    default ``n_bands = max_hamming + 1`` makes candidate recall exactly
+    1.0 and the verified output EQUAL to all-pairs hamming ≤ h — which
+    is what lets the DuckDB oracle check this operator without
+    reproducing the banding.  Narrow bands mean bigger buckets
+    (quadratic candidate cost), so at web scale prefer a small
+    max_hamming (e.g. 3 → 4 bands of 15-16 bits, the classic Google
+    near-dup setting) or pass an explicit smaller ``n_bands`` and accept
+    w.h.p. rather than guaranteed recall.
+
+    ``portable=True`` swaps the xxhash64-based 64-bit fingerprint for
+    the md5-derived 60-bit one (functions/portable.simhash60) that any
+    engine with md5() reproduces bit-for-bit — the driver oracle runs
+    that mirror in DuckDB.
+    """
+    if portable:
+        from kgspark.functions.portable import HASH_BITS, simhash60
+
+        bits, fp_fn = HASH_BITS, simhash60
+    else:
+        bits, fp_fn = 64, simhash64
+    b = n_bands if n_bands is not None else min(bits, max_hamming + 1)
     fp = df.select(
         F.col(id_col).alias("_id"),
-        simhash64(tokenize(F.col(text_col))).alias("_fp"),
+        fp_fn(tokenize(F.col(text_col))).alias("_fp"),
     )
-    bands = 4
+    bounds = [(i * bits // b, (i + 1) * bits // b) for i in range(b)]
     banded = fp.select(
         "_id", "_fp",
         F.explode(F.array(*[
             F.concat_ws("|", F.lit(i),
-                        F.shiftrightunsigned(F.col("_fp"), 16 * i).bitwiseAND(F.lit(0xFFFF))
+                        F.shiftrightunsigned(F.col("_fp"), lo)
+                        .bitwiseAND(F.lit((1 << (hi - lo)) - 1))
                         .cast("string"))
-            for i in range(bands)
+            for i, (lo, hi) in enumerate(bounds)
         ])).alias("_band"),
     )
     a, b = banded.alias("a"), banded.alias("b")

@@ -230,9 +230,9 @@ class KGSpark:
                 F.col("pred"), F.col("target_node_uuid"), F.col("episode_uuid"),
                 F.col("idx").cast("string"))))
 
-        self.store.write("raw_episodes", ep, mode="append", bucket_key="uuid")
-        self.store.write("ext_nodes", nodes, mode="append", bucket_key="uuid")
-        self.store.write("ext_edges", edges, mode="append", bucket_key="uuid")
+        self.store.append_grouped("raw_episodes", ep, bucket_key="uuid")
+        self.store.append_grouped("ext_nodes", nodes, bucket_key="uuid")
+        self.store.append_grouped("ext_edges", edges, bucket_key="uuid")
         groups = self.spark.createDataFrame([(group_id,)], "group_id string")
         counts = reassemble_groups(self.spark, self.store, groups, now=now,
                                    embed_dim=self.embed_dim,

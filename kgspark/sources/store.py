@@ -6,11 +6,20 @@ so writes are parquet with url-hash bucket columns — the same physical
 layout the north rule asks for (`bucket(N, url_hash)` partitioning).
 MERGE-upsert (the reference's Cypher MERGE, node_db_queries.py:17-69) is
 emulated with anti-join + union, keyed on uuid.
+
+Incremental tables additionally hive-partition by group-hash
+(``gpart=pmod(xxhash64(group_id), n_gparts)`` — Iceberg's
+``bucket(n, group_id)`` transform): `splice_groups` / `merge` /
+`delete_by_group` then rewrite only the touched partitions via dynamic
+partition overwrite (Iceberg ``overwritePartitions``), and
+`read_parts` prunes scans to those partitions, so per-batch IO is
+O(affected partitions) rather than O(corpus).
 """
 
 from __future__ import annotations
 
 import os
+import shutil
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -19,6 +28,7 @@ TABLES = ("episodes", "nodes", "edges", "mentions", "communities",
           "community_members", "postings", "checkpoints")
 
 N_BUCKETS = 64
+N_GPARTS = 64
 
 
 def with_bucket(df: DataFrame, key: str = "uuid", n: int = N_BUCKETS) -> DataFrame:
@@ -29,17 +39,71 @@ def with_bucket(df: DataFrame, key: str = "uuid", n: int = N_BUCKETS) -> DataFra
 
 
 class GraphStore:
-    def __init__(self, root: str, n_buckets: int = N_BUCKETS):
+    def __init__(self, root: str, n_buckets: int = N_BUCKETS,
+                 n_gparts: int = N_GPARTS):
         self.root = root
         self.n_buckets = n_buckets
+        # group-hash partition count for the group-keyed tables: one
+        # incremental batch touches only its groups' partitions, so both
+        # the splice rewrite and the re-assembly side-table scans are
+        # O(touched partitions), never O(corpus). Size it so each
+        # partition holds a few GB (a 100 TB corpus wants ~4096+).
+        self.n_gparts = n_gparts
 
     def path(self, table: str) -> str:
         return os.path.join(self.root, table)
+
+    def _gpart(self, group_id: F.Column) -> F.Column:
+        return F.pmod(F.xxhash64(group_id), F.lit(self.n_gparts)).cast("int")
+
+    def group_parts(self, groups: DataFrame) -> list[int]:
+        """Distinct gpart ids for a (small) group_id frame — the
+        partition list a splice/delete touches."""
+        return [
+            r["gpart"]
+            for r in groups.select(
+                self._gpart(F.col("group_id")).alias("gpart")).distinct().collect()
+        ]
+
+    def is_partitioned(self, table: str) -> bool:
+        p = self.path(table)
+        return os.path.isdir(p) and any(
+            e.startswith("gpart=") for e in os.listdir(p))
 
     def write(self, table: str, df: DataFrame, mode: str = "overwrite",
               bucket_key: str = "uuid") -> None:
         out = with_bucket(df, bucket_key, self.n_buckets) if bucket_key in df.columns else df
         (out.write.mode(mode).option("compression", "zstd").parquet(self.path(table)))
+
+    def write_grouped(self, table: str, df: DataFrame, mode: str = "overwrite",
+                      bucket_key: str = "uuid", dynamic: bool = False) -> None:
+        """Write hive-partitioned by group-hash (``gpart=k/`` dirs — the
+        parquet stand-in for Iceberg's ``bucket(n, group_id)`` partition
+        transform). ``dynamic=True`` = Iceberg ``overwritePartitions``:
+        only the partitions present in ``df`` are replaced."""
+        out = with_bucket(df, bucket_key, self.n_buckets) if bucket_key in df.columns else df
+        out = out.withColumn("gpart", self._gpart(F.col("group_id")))
+        w = (out.write.mode(mode).option("compression", "zstd")
+             .partitionBy("gpart"))
+        if dynamic:
+            w = w.option("partitionOverwriteMode", "dynamic")
+        w.parquet(self.path(table))
+
+    def append_grouped(self, table: str, df: DataFrame,
+                       bucket_key: str = "uuid") -> None:
+        """Append in the partitioned layout (new files land inside their
+        ``gpart=`` dirs); falls back to a flat append only onto a
+        pre-existing unpartitioned table (never mixes layouts)."""
+        if self.exists(table) and not self.is_partitioned(table):
+            if self.read(df.sparkSession, table).isEmpty():
+                # schema-only remnant of a fully-emptied table — reclaim
+                # the partitioned layout instead of appending flat
+                shutil.rmtree(self.path(table))
+                self.write_grouped(table, df, bucket_key=bucket_key)
+            else:
+                self.write(table, df, mode="append", bucket_key=bucket_key)
+        else:
+            self.write_grouped(table, df, mode="append", bucket_key=bucket_key)
 
     def write_all(self, tables: dict[str, DataFrame]) -> None:
         for name, df in tables.items():
@@ -47,11 +111,80 @@ class GraphStore:
 
     def read(self, spark: SparkSession, table: str) -> DataFrame:
         df = spark.read.parquet(self.path(table))
-        return df.drop("bucket") if "bucket" in df.columns else df
+        return df.drop("bucket", "gpart")
+
+    def read_parts(self, spark: SparkSession, table: str,
+                   parts: list[int]) -> DataFrame:
+        """Partition-pruned read: only the ``gpart`` dirs in ``parts``
+        are scanned (a no-op passthrough on unpartitioned tables)."""
+        df = spark.read.parquet(self.path(table))
+        if "gpart" in df.columns:
+            df = df.where(F.col("gpart").isin(parts))
+        return df.drop("bucket", "gpart")
+
+    def _overwrite_parts(self, table: str, out: DataFrame,
+                         parts: list[int]) -> int:
+        """Replace exactly the given partitions with ``out``'s rows
+        (dynamic partition overwrite); partitions that end up empty are
+        removed explicitly — dynamic overwrite only touches partitions
+        present in the new data, so an emptied one would otherwise keep
+        serving its old files."""
+        out = out.localCheckpoint()  # materialize before replacing files we read
+        n = int(out.count())
+        present = {
+            r["gpart"]
+            for r in out.select(
+                self._gpart(F.col("group_id")).alias("gpart")).distinct().collect()
+        }
+        if present:
+            self.write_grouped(table, out, dynamic=True)
+        for p in set(parts) - present:
+            stale = os.path.join(self.path(table), f"gpart={p}")
+            if os.path.isdir(stale):
+                shutil.rmtree(stale)
+        if not self.exists(table):
+            # table fully emptied: a partitioned write of an empty frame
+            # leaves no parquet at all (unreadable dir) — keep a
+            # schema-only flat empty table so reads still work;
+            # append_grouped migrates it back to partitioned layout.
+            self.write(table, out.limit(0))
+        return n
+
+    def splice_groups(self, spark: SparkSession, table: str,
+                      rebuilt: DataFrame, groups: DataFrame) -> int:
+        """Replace the given groups' rows with ``rebuilt``, touching only
+        their ``gpart`` partitions — the Iceberg
+        ``overwritePartitions`` emulation the incremental path runs per
+        micro-batch. IO is O(affected partitions): unaffected partition
+        files are never read or rewritten (tested via mtime in
+        test_checkpoint_streaming). A pre-existing unpartitioned table
+        is migrated to the partitioned layout on first splice. Returns
+        rows written to the affected partitions."""
+        if not self.exists(table):
+            out = rebuilt.localCheckpoint()
+            self.write_grouped(table, out)
+            return int(out.count())
+        if not self.is_partitioned(table):
+            kept = self.read(spark, table).join(groups, "group_id", "left_anti")
+            out = kept.unionByName(
+                rebuilt, allowMissingColumns=True).localCheckpoint()
+            shutil.rmtree(self.path(table))  # no mixed layouts
+            self.write_grouped(table, out)
+            return int(out.count())
+        parts = self.group_parts(groups)
+        kept = self.read_parts(spark, table, parts).join(
+            groups, "group_id", "left_anti")
+        out = kept.unionByName(rebuilt, allowMissingColumns=True)
+        return self._overwrite_parts(table, out, parts)
 
     def exists(self, table: str) -> bool:
         p = self.path(table)
-        return os.path.isdir(p) and any(f.endswith(".parquet") for f in os.listdir(p))
+        if not os.path.isdir(p):
+            return False
+        for _root, _dirs, files in os.walk(p):
+            if any(f.endswith(".parquet") for f in files):
+                return True
+        return False
 
     # ---------------------------------------------------------- S2-S4 upsert
     def merge(self, spark: SparkSession, table: str, updates: DataFrame,
@@ -62,6 +195,16 @@ class GraphStore:
         if not self.exists(table):
             self.write(table, updates)
             return
+        if self.is_partitioned(table) and "group_id" in updates.columns:
+            # a row's uuid never changes group, so the stale versions of
+            # these updates live in the updates' own partitions — scope
+            # the rewrite there (Iceberg: MERGE with partition pruning)
+            parts = self.group_parts(updates.select("group_id").distinct())
+            kept = self.read_parts(spark, table, parts).join(
+                updates.select(key), key, "left_anti")
+            self._overwrite_parts(
+                table, kept.unionByName(updates, allowMissingColumns=True), parts)
+            return
         existing = self.read(spark, table)
         kept = existing.join(updates.select(key), key, "left_anti")
         merged = kept.unionByName(updates, allowMissingColumns=True).localCheckpoint()
@@ -70,6 +213,14 @@ class GraphStore:
     # ---------------------------------------------------------- S12 delete
     def delete_by_group(self, spark: SparkSession, table: str, group_ids: list[str]) -> None:
         if not self.exists(table):
+            return
+        if self.is_partitioned(table):
+            spark_groups = spark.createDataFrame(
+                [(g,) for g in group_ids], "group_id string")
+            parts = self.group_parts(spark_groups)
+            kept = self.read_parts(spark, table, parts).where(
+                ~F.col("group_id").isin(group_ids))
+            self._overwrite_parts(table, kept, parts)
             return
         df = self.read(spark, table)
         remaining = df.where(~F.col("group_id").isin(group_ids)).localCheckpoint()
@@ -87,35 +238,64 @@ class GraphStore:
         hit = raw.where(F.col("uuid") == episode_uuid).select("group_id").take(1)
         if not hit:
             return None
-        kept = raw.where(F.col("uuid") != episode_uuid).localCheckpoint()
-        self.write("raw_episodes", kept)
-        for t in ("ext_nodes", "ext_edges"):
-            if self.exists(t):
-                rem = self.read(spark, t).where(
-                    F.col("episode_uuid") != episode_uuid).localCheckpoint()
+        group_id = hit[0]["group_id"]
+        deletions = {"raw_episodes": F.col("uuid") != episode_uuid,
+                     "ext_nodes": F.col("episode_uuid") != episode_uuid,
+                     "ext_edges": F.col("episode_uuid") != episode_uuid}
+        for t, keep in deletions.items():
+            if not self.exists(t):
+                continue
+            if self.is_partitioned(t):
+                # scope the rewrite to the episode's own gpart partition
+                groups = spark.createDataFrame([(group_id,)], "group_id string")
+                parts = self.group_parts(groups)
+                self._overwrite_parts(
+                    t, self.read_parts(spark, t, parts).where(keep), parts)
+            else:
+                rem = self.read(spark, t).where(keep).localCheckpoint()
                 self.write(t, rem)
-        return hit[0]["group_id"]
+        return group_id
 
     def remove_episode(self, spark: SparkSession, episode_uuid: str) -> None:
         """Cascading delete (reference graphiti.py:776-805): drop the
-        episode, its mentions, edges only it supports, and orphan nodes."""
-        episodes = self.read(spark, "episodes").where(F.col("uuid") != episode_uuid)
-        mentions = self.read(spark, "mentions").where(F.col("episode_uuid") != episode_uuid)
-        edges = self.read(spark, "edges")
+        episode, its mentions, edges only it supports, and orphan nodes.
+        The cascade never crosses group_id (node/edge uuids are
+        group-scoped), so on partitioned tables the whole rewrite is
+        scoped to the episode's gpart partition."""
+        tables = ("episodes", "mentions", "edges", "nodes")
+        scoped = all(self.is_partitioned(t) for t in tables)
+        parts: list[int] = []
+        if scoped:
+            hit = self.read(spark, "episodes").where(
+                F.col("uuid") == episode_uuid).select("group_id").take(1)
+            if not hit:
+                return
+            groups = spark.createDataFrame(
+                [(hit[0]["group_id"],)], "group_id string")
+            parts = self.group_parts(groups)
+            rd = lambda t: self.read_parts(spark, t, parts)  # noqa: E731
+        else:
+            rd = lambda t: self.read(spark, t)  # noqa: E731
+        episodes = rd("episodes").where(F.col("uuid") != episode_uuid)
+        mentions = rd("mentions").where(F.col("episode_uuid") != episode_uuid)
         edges = (
-            edges.withColumn("episodes", F.array_remove("episodes", episode_uuid))
+            rd("edges").withColumn("episodes", F.array_remove("episodes", episode_uuid))
             .where(F.size("episodes") > 0)
         )
-        nodes = self.read(spark, "nodes")
+        # mentions here cover every group in the touched partitions, so
+        # hash-collision co-tenant nodes keep their support rows
         live = mentions.select(F.col("entity_uuid").alias("uuid")).distinct()
-        nodes = nodes.join(live, "uuid", "left_semi")
+        nodes = rd("nodes").join(live, "uuid", "left_semi")
         # materialize EVERY frame before overwriting ANY table — nodes'
         # lineage reads the mentions files the loop would have replaced
         frames = [(name, df.localCheckpoint()) for name, df in
                   [("episodes", episodes), ("mentions", mentions),
                    ("edges", edges), ("nodes", nodes)]]
         for name, df in frames:
-            self.write(name, df)
+            if scoped:
+                self._overwrite_parts(name, df, parts)
+            else:
+                self.write(name, df)
 
 
 # ------------------------------------------------------------------ S7/S8

@@ -24,8 +24,13 @@ existing graph (dedup within re-assembled group) and T2 re-invalidation,
 which the reference's own bulk path skips (graphiti.py:520-522).
 
 At cluster scale: affected-group splice = Iceberg
-``overwritePartitions`` on the group-hash partition; the anti-join
-rewrite below is its parquet emulation.
+``overwritePartitions`` on the group-hash partition
+(`GraphStore.splice_groups`) — per-batch IO is O(affected
+partitions), never O(corpus): side-table scans, the idempotence
+anti-join, and the graph-table rewrite are all pruned to the batch's
+``gpart=`` partitions (unaffected partition files are neither read
+nor rewritten; asserted via file mtimes in
+tests/test_checkpoint_streaming.py).
 """
 
 from __future__ import annotations
@@ -43,20 +48,6 @@ EXT_TABLES = ("ext_nodes", "ext_edges", "raw_episodes")
 GRAPH_TABLES = ("episodes", "nodes", "edges", "mentions")
 
 
-def _splice(store: GraphStore, spark: SparkSession, table: str,
-            rebuilt: DataFrame, groups: DataFrame) -> int:
-    """Replace affected-group rows of `table` with `rebuilt`; keep the
-    rest. Parquet emulation of Iceberg dynamic-partition overwrite."""
-    if store.exists(table):
-        kept = store.read(spark, table).join(groups, "group_id", "left_anti")
-        out = kept.unionByName(rebuilt, allowMissingColumns=True)
-    else:
-        out = rebuilt
-    out = out.localCheckpoint()  # materialize before overwriting the dir we read
-    store.write(table, out)
-    return out.count()
-
-
 def ingest_pages(
     spark: SparkSession,
     store: GraphStore,
@@ -70,9 +61,12 @@ def ingest_pages(
     episodes, ext_nodes, ext_edges = run_extraction(pages_to_episodes(pages))
 
     # idempotence / exactly-once per url: drop episodes already ingested
-    # (stream restarts can redeliver a batch).
+    # (stream restarts can redeliver a batch). A redelivered episode has
+    # the same group_id, so scanning only the batch's gpart partitions
+    # sees every possible duplicate — O(touched partitions), not O(corpus).
     if store.exists("raw_episodes"):
-        seen = store.read(spark, "raw_episodes").select("uuid")
+        batch_parts = store.group_parts(episodes.select("group_id").distinct())
+        seen = store.read_parts(spark, "raw_episodes", batch_parts).select("uuid")
         episodes = episodes.join(seen, "uuid", "left_anti")
     # eager localCheckpoint severs lineage BEFORE we append to
     # raw_episodes — otherwise the anti-join above re-reads the table we
@@ -88,9 +82,9 @@ def ingest_pages(
     if n_new == 0:
         return {"new_episodes": 0}
 
-    store.write("raw_episodes", episodes, mode="append", bucket_key="uuid")
-    store.write("ext_nodes", ext_nodes, mode="append", bucket_key="uuid")
-    store.write("ext_edges", ext_edges, mode="append", bucket_key="uuid")
+    store.append_grouped("raw_episodes", episodes, bucket_key="uuid")
+    store.append_grouped("ext_nodes", ext_nodes, bucket_key="uuid")
+    store.append_grouped("ext_edges", ext_edges, bucket_key="uuid")
 
     groups = episodes.select("group_id").distinct().localCheckpoint()
     counts = {"new_episodes": n_new}
@@ -111,12 +105,16 @@ def reassemble_groups(
     per-episode extraction side tables and splice them over the previous
     state (no re-extraction — summary_text persisted with raw_episodes).
     Shared by batch ingest and add_triplet."""
-    all_eps = store.read(spark, "raw_episodes").join(
+    parts = store.group_parts(groups)
+    # gpart prune cuts the scan to the touched partitions; the semi-join
+    # then drops hash-collision co-tenants of those partitions.
+    all_eps = store.read_parts(spark, "raw_episodes", parts).join(
         F.broadcast(groups), "group_id", "left_semi")
-    all_nodes = store.read(spark, "ext_nodes").join(
+    all_nodes = store.read_parts(spark, "ext_nodes", parts).join(
         F.broadcast(groups), "group_id", "left_semi")
-    all_edges = store.read(spark, "ext_edges").join(
+    all_edges = store.read_parts(spark, "ext_edges", parts).join(
         F.broadcast(groups), "group_id", "left_semi")
     g = assemble_graph(all_eps, all_nodes, all_edges, embed_dim, now,
                        entity_types=entity_types)
-    return {t: _splice(store, spark, t, g[t], groups) for t in GRAPH_TABLES}
+    return {t: store.splice_groups(spark, t, g[t], groups)
+            for t in GRAPH_TABLES}

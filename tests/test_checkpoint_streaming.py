@@ -111,6 +111,52 @@ def test_incremental_batches_match_oneshot(spark, tmp_path, oneshot):
     pages.unpersist()
 
 
+def test_incremental_splice_prunes_partitions(spark, tmp_path, oneshot):
+    """A micro-batch touching one group must not read or rewrite other
+    gpart partitions: every parquet file outside the touched partition
+    survives the batch byte-identical (same path, same mtime)."""
+    from kgspark.synth import group_id_col
+
+    pages = synth_pages(spark, n_docs=N_DOCS, n_groups=N_GROUPS, seed=7).persist()
+    gids = sorted(
+        r["g"] for r in pages.select(group_id_col().alias("g")).distinct().collect())
+    target = gids[0]
+    store = GraphStore(str(tmp_path / "pruned"), n_gparts=8)
+    ingest_pages(spark, store, pages.where(group_id_col() != target), now=NOW)
+    tables = ("episodes", "nodes", "edges", "mentions",
+              "raw_episodes", "ext_nodes", "ext_edges")
+    assert all(store.is_partitioned(t) for t in tables)
+
+    def snapshot(table):
+        out = {}
+        for dirpath, _dirs, fs in os.walk(store.path(table)):
+            for f in fs:
+                if f.endswith(".parquet"):
+                    p = os.path.join(dirpath, f)
+                    out[p] = os.path.getmtime(p)
+        return out
+
+    before = {t: snapshot(t) for t in tables}
+    counts = ingest_pages(spark, store, pages.where(group_id_col() == target), now=NOW)
+    assert counts["new_episodes"] > 0
+    [tpart] = store.group_parts(
+        spark.createDataFrame([(target,)], "group_id string"))
+    untouched = 0
+    for t, snap in before.items():
+        for p, mtime in snap.items():
+            if f"gpart={tpart}" + os.sep in p:
+                continue  # the touched partition (incl. hash co-tenants)
+            assert os.path.exists(p), f"{p} deleted by unrelated batch"
+            assert os.path.getmtime(p) == mtime, f"{p} rewritten by unrelated batch"
+            untouched += 1
+    assert untouched > 0  # the assertion actually covered files
+    # and the spliced store still converges to the one-shot build
+    assert _edge_key_rows(store.read(spark, "edges")) == oneshot["edges"]
+    assert _node_key_rows(store.read(spark, "nodes")) == oneshot["nodes"]
+    assert store.read(spark, "episodes").count() == oneshot["n_episodes"]
+    pages.unpersist()
+
+
 def test_stream_ingest_available_now(spark, tmp_path, oneshot):
     pages = synth_pages(spark, n_docs=N_DOCS, n_groups=N_GROUPS, seed=7)
     in_dir = str(tmp_path / "in")

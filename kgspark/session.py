@@ -49,6 +49,38 @@ def _default_local_dir() -> str | None:
     return None
 
 
+# SQL confs that are runtime-settable (spark.conf.set) on a session the
+# engine did not create — e.g. one handed to a spark-submit job script
+# (tools/submit_build_graph.py). JVM-launch confs (driver memory,
+# local.dir, master) are deliberately absent: in a submitted job those
+# belong on the spark-submit command line.
+SQL_CONFS: dict[str, str] = {
+    "spark.sql.adaptive.enabled": "true",
+    "spark.sql.adaptive.coalescePartitions.enabled": "true",
+    "spark.sql.adaptive.coalescePartitions.parallelismFirst": "false",
+    "spark.sql.adaptive.advisoryPartitionSizeInBytes": "32m",
+    "spark.sql.adaptive.coalescePartitions.minPartitionSize": "4m",
+    "spark.sql.adaptive.skewJoin.enabled": "true",
+    "spark.sql.session.timeZone": "UTC",
+    "spark.sql.execution.arrow.pyspark.enabled": "true",
+    "spark.sql.execution.arrow.maxRecordsPerBatch": "10000",
+    "spark.sql.autoBroadcastJoinThreshold": str(64 * 1024 * 1024),
+}
+
+
+def tune_session(spark: SparkSession,
+                 shuffle_partitions: int | None = None) -> SparkSession:
+    """Apply the engine's runtime-settable SQL confs to an existing
+    session (the spark-submit path: the JVM already exists, so only
+    conf.set-able settings apply). Local-mode callers should use
+    get_spark, which also controls the JVM-launch confs."""
+    for k, v in SQL_CONFS.items():
+        spark.conf.set(k, v)
+    if shuffle_partitions:
+        spark.conf.set("spark.sql.shuffle.partitions", str(shuffle_partitions))
+    return spark
+
+
 def get_spark(
     app_name: str = "kgspark",
     master: str | None = None,
@@ -78,30 +110,22 @@ def get_spark(
         SparkSession.builder.master(master)
         .appName(app_name)
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
-        .config("spark.sql.adaptive.enabled", "true")
-        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
-        # Shrink tiny shuffles to few tasks: the default parallelismFirst
-        # keeps >= defaultParallelism partitions, which makes every small
-        # intermediate stage pay per-task overhead × cores (measured 1.5×
-        # end-to-end on the KG pipeline at local[32]).
-        .config("spark.sql.adaptive.coalescePartitions.parallelismFirst", "false")
-        .config("spark.sql.adaptive.advisoryPartitionSizeInBytes", "32m")
-        .config("spark.sql.adaptive.coalescePartitions.minPartitionSize", "4m")
-        .config("spark.sql.adaptive.skewJoin.enabled", "true")
-        .config("spark.sql.session.timeZone", "UTC")
-        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
-        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
         # 32 concurrent tasks + cached page/episode strings in one JVM:
         # an 8g heap GC-thrashes (measured +20% wall); the box has 128g.
         .config("spark.driver.memory", mem)
         .config("spark.ui.enabled", "false")
-        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         # tiny createDataFrame/range leaves default to defaultParallelism
         # = core count, which makes plan shapes differ between cluster
         # sizes (the N-vs-4N comparison needs identical plans) and pays
         # per-partition python fixed cost on UDF stages over tiny frames
         .config("spark.sql.leafNodeDefaultParallelism", "4")
     )
+    # Shared SQL confs (also applied by tune_session on submitted jobs).
+    # Notable: coalescePartitions.parallelismFirst=false shrinks tiny
+    # shuffles to few tasks instead of >= defaultParallelism — measured
+    # 1.5× end-to-end on the KG pipeline at local[32].
+    for k, v in SQL_CONFS.items():
+        b = b.config(k, v)
     local_dir = _default_local_dir()
     if local_dir:
         b = b.config("spark.local.dir", local_dir)

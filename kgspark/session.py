@@ -129,6 +129,14 @@ def get_spark(
     local_dir = _default_local_dir()
     if local_dir:
         b = b.config("spark.local.dir", local_dir)
+    # Preloading worker daemon: forked UDF workers inherit numpy/pandas/
+    # pyarrow + the engine's extraction modules copy-on-write instead of
+    # re-importing them per worker — kills the measured ~15s all-task
+    # stall when a wide stage spawns a fresh worker cohort on a slow-
+    # metadata FS (see kgspark/daemon.py). KGSPARK_PRELOAD_DAEMON=0
+    # disables (e.g. if a cluster's PYTHONPATH lacks the kgspark zip).
+    if os.environ.get("KGSPARK_PRELOAD_DAEMON", "1") != "0":
+        b = b.config("spark.python.daemon.module", "kgspark.daemon")
     for k, v in (extra or {}).items():
         b = b.config(k, v)
     spark = b.getOrCreate()

@@ -198,6 +198,14 @@ def lsh_pairs(
         )
         .dropDuplicates(["id_a", "id_b"])
     )
+    # Data-sized explicit repartition (AQE-exempt): AQE coalesces the
+    # deduped candidate list by BYTES, which serializes the verify stage
+    # — the array_intersect Jaccard + two hash joins below are CPU-bound
+    # per row (measured: an 18s single-task verify at 20k docs on a
+    # 32-core box). Round-robin of slim (id,id,grp) rows is trivial to
+    # shuffle at any scale.
+    n_verify_parts = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions", "32"))
+    cand = cand.repartition(n_verify_parts)
     # verify: re-attach hashed shingles per side, keyed on (id, group) —
     # ids are only contracted unique WITHIN a group, so an id-only join
     # would cross-match another group's shingle set. No hint — when the

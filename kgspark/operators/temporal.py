@@ -99,49 +99,61 @@ def invalidate_edges(edges: DataFrame, now: datetime | None = None) -> DataFrame
     """T2 over a deduped edge set. Expects columns: uuid, group_id,
     source_node_uuid, target_node_uuid, pred, valid_at, invalid_at,
     ref_ts (the earliest supporting episode's warc_ts). Adds/updates
-    invalid_at + expired_at."""
+    invalid_at + expired_at.
+
+    The three window passes run over a SLIM projection (uuid, keys,
+    timestamps — ~60 bytes/row) and the tightened (invalid_at,
+    expired_at) pair is joined back to the wide edge rows by uuid at the
+    end. Edge rows carry fact text + episode-uuid arrays (~1 KB/row), so
+    shuffling the full rows through 3 window exchanges moved ~50× more
+    bytes than the decision actually needs — the same slim-shuffle move
+    as the LSH band join (BASELINE.md fact 14). Cost: one extra uuid
+    join; at cluster scale shuffle bytes are the scarce resource and the
+    trade wins by an order of magnitude."""
     now_col = F.lit(now) if now is not None else F.current_timestamp()
-    df = edges
-    if "expired_at" not in df.columns:
-        df = df.withColumn("expired_at", F.lit(None).cast("timestamp"))
-    df = (
-        df.withColumn("_t", F.coalesce("valid_at", "ref_ts"))
-        .withColumn("_class", _class_expr())
-        .withColumn("_polarity", _polarity_expr())
-        .withColumn("_functional", _is_functional())
-    )
+    wide = edges
+    if "expired_at" not in wide.columns:
+        wide = wide.withColumn("expired_at", F.lit(None).cast("timestamp"))
+
     is_role = F.col("pred").startswith("IS_") & F.col("pred").endswith("_OF")
+    df = wide.select(
+        "uuid", "group_id", "invalid_at", "expired_at",
+        F.coalesce("valid_at", "ref_ts").alias("_t"),
+        # pass 1 key/value: antonym classes on the same directed (src, dst)
+        F.when(
+            _class_expr().isNotNull(),
+            F.concat_ws("|", "source_node_uuid", "target_node_uuid", _class_expr()),
+        ).otherwise(F.concat(F.lit("solo|"), F.col("uuid"))).alias("_k1"),
+        _polarity_expr().alias("_v1"),
+        # pass 2: functional preds — new object supersedes old per (src, pred)
+        F.when(
+            _is_functional(), F.concat_ws("|", "source_node_uuid", "pred"),
+        ).otherwise(F.concat(F.lit("solo|"), F.col("uuid"))).alias("_k2"),
+        F.col("target_node_uuid").alias("_v2"),
+        # pass 3: inverse-functional role preds — new holder supersedes per (pred, obj)
+        F.when(
+            is_role, F.concat_ws("|", "target_node_uuid", "pred"),
+        ).otherwise(F.concat(F.lit("solo|"), F.col("uuid"))).alias("_k3"),
+        F.col("source_node_uuid").alias("_v3"),
+    )
 
     # Each pass runs over the FULL set with a per-row-unique partition key
     # for rows the pass doesn't apply to (their singleton window has no
     # next run → no-op). Splitting with where()/union instead would put
     # the whole upstream plan into the tree once per branch — 6 subtree
     # re-evaluations; this way lineage is linear: 3 window shuffles total.
+    for k, v in (("_k1", "_v1"), ("_k2", "_v2"), ("_k3", "_v3")):
+        df = _close_runs(df.withColumn("_k", F.col(k)), ["group_id", "_k"],
+                         F.col(v), now_col)
 
-    # pass 1: antonym classes on the same directed (src, dst)
-    k1 = F.when(
-        F.col("_class").isNotNull(),
-        F.concat_ws("|", "source_node_uuid", "target_node_uuid", "_class"),
-    ).otherwise(F.concat(F.lit("solo|"), F.col("uuid")))
-    df = _close_runs(df.withColumn("_k", k1), ["group_id", "_k"],
-                     F.col("_polarity"), now_col)
-
-    # pass 2: functional preds — new object supersedes old per (src, pred)
-    k2 = F.when(
-        F.col("_functional"),
-        F.concat_ws("|", "source_node_uuid", "pred"),
-    ).otherwise(F.concat(F.lit("solo|"), F.col("uuid")))
-    df = _close_runs(df.withColumn("_k", k2), ["group_id", "_k"],
-                     F.col("target_node_uuid"), now_col)
-
-    # pass 3: inverse-functional role preds — new holder supersedes per (pred, obj)
-    k3 = F.when(
-        is_role, F.concat_ws("|", "target_node_uuid", "pred"),
-    ).otherwise(F.concat(F.lit("solo|"), F.col("uuid")))
-    df = _close_runs(df.withColumn("_k", k3), ["group_id", "_k"],
-                     F.col("source_node_uuid"), now_col)
-
-    return df.drop("_t", "_class", "_polarity", "_functional", "_k")
+    slim = df.select("uuid", F.col("invalid_at").alias("_inv"),
+                     F.col("expired_at").alias("_exp"))
+    return (
+        wide.drop("invalid_at", "expired_at")
+        .join(slim, "uuid")
+        .withColumnRenamed("_inv", "invalid_at")
+        .withColumnRenamed("_exp", "expired_at")
+    )
 
 
 def point_in_time(edges: DataFrame, at) -> DataFrame:

@@ -84,7 +84,14 @@ def assemble_graph(
     incremental ingest (kgspark.streaming) can re-assemble affected
     group partitions from stored per-episode extraction rows without
     re-running the extraction UDF."""
-    nodes0 = build_entity_nodes(ext_nodes, embed_dim).persist()
+    # Eagerly materialized: nodes0 fans out to 4+ consumers (alias pairs,
+    # the uuid-map created_at lookup, node-merge, E4) and several of them
+    # issue driver-side actions (take/collect) — with a lazy persist the
+    # first such action raced cache population and re-derived the whole
+    # extraction→aggregate lineage (measured 113 core-s for a 3k-row
+    # lookup). localCheckpoint also truncates the plan AQE has to
+    # re-optimize per consumer.
+    nodes0 = build_entity_nodes(ext_nodes, embed_dim).localCheckpoint(eager=True)
     if dedup:
         pairs = alias_pairs(nodes0)
         uuid_map = build_uuid_map(nodes0, pairs).persist()
@@ -95,7 +102,10 @@ def assemble_graph(
         nodes = nodes0
         edges_resolved = ext_edges
 
-    edges_deduped = dedupe_edges(edges_resolved, n_salt=edge_salt)
+    # persisted because invalidate_edges consumes it TWICE (slim window
+    # side + wide join-back side) — without the cache the whole
+    # resolve+dedupe subtree is evaluated once per side
+    edges_deduped = dedupe_edges(edges_resolved, n_salt=edge_salt).persist()
     edges_temporal = invalidate_edges(edges_deduped, now).persist()
 
     # E4: typed attributes + fact-derived summaries from the node's own
@@ -105,8 +115,20 @@ def assemble_graph(
         nodes = extract_attributes(nodes, edges_temporal, entity_types)
 
     embed = embedder_udf(embed_dim)
+    # Explicit data-sized repartition before the embedding UDF: AQE sizes
+    # shuffle partitions by BYTES, which systematically under-parallelizes
+    # Python-UDF stages (per-row CPU is invisible to byte sizing — at
+    # sf0.1 the post-dedup edge set coalesces to 1 partition and the
+    # embed stage ran serial, measured 5.3s for 33k rows on a 32-core
+    # box). A production embedder (a real model) is even more CPU-heavy,
+    # so right-sizing partitions for the embed stage is exactly what a
+    # cluster pipeline does before its GPU/CPU batch step. User-specified
+    # repartition(N) is exempt from AQE coalescing.
+    n_embed_parts = int(edges_temporal.sparkSession.conf.get(
+        "spark.sql.shuffle.partitions", "32"))
     edges = (
-        edges_temporal.withColumn("fact_embedding", embed(F.col("fact")))
+        edges_temporal.repartition(n_embed_parts)
+        .withColumn("fact_embedding", embed(F.col("fact")))
         .withColumn("name", F.col("pred"))
         .withColumn(
             "attributes",

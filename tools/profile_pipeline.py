@@ -58,6 +58,7 @@ def main() -> None:
 
     jobs: dict[int, dict] = {}
     stages: dict[int, dict] = {}
+    executions: dict[str, str] = {}
     paths = [p for p in glob.glob(f"{log_dir}/**/*", recursive=True)
              if os.path.isfile(p) and "appstatus" not in p]
     for path in paths:
@@ -74,8 +75,22 @@ def main() -> None:
                         "start": ev["Submission Time"],
                         "site": props.get("callSite.short", ""),
                         "desc": props.get("spark.job.description", ""),
+                        "exec_id": props.get("spark.sql.execution.id", ""),
                         "stages": [s["Stage ID"] for s in ev.get("Stage Infos", [])],
                     }
+                elif e and e.endswith("SparkListenerSQLExecutionStart"):
+                    plan = ev.get("physicalPlanDescription", "")
+                    # grab the most informative operator lines
+                    ops = [ln.strip("+- *() ").split("(")[0] for ln in plan.splitlines()
+                           if any(k in ln for k in ("ArrowEvalPython", "FlatMapsInPandas",
+                                                    "Window", "SortMergeJoin",
+                                                    "BroadcastHashJoin", "HashAggregate",
+                                                    "ObjectHashAggregate", "Generate"))]
+                    uniq: list[str] = []
+                    for o in ops:
+                        if o not in uniq:
+                            uniq.append(o)
+                    executions[str(ev["executionId"])] = ",".join(uniq[:5])
                 elif e == "SparkListenerJobEnd":
                     jobs.setdefault(ev["Job ID"], {})["end"] = ev["Completion Time"]
                 elif e == "SparkListenerStageCompleted":
@@ -136,8 +151,15 @@ def main() -> None:
         jw = (j["end"] - j["start"]) / 1000
         jt = sum(stages.get(sid, {}).get("task_ms", 0) for sid in j.get("stages", []))
         nt = sum(stages.get(sid, {}).get("tasks") or 0 for sid in j.get("stages", []))
+        label = j.get("desc") or executions.get(j.get("exec_id", ""), "") or j.get("site", "")
         print(f"  job {jw:7.2f}s tasks={nt:4} task_core_s={jt / 1000:7.1f} "
-              f"{j.get('desc') or j.get('site', '')}")
+              f"[x{j.get('exec_id', '?')}] {label[:100]}")
+
+    print("\n-- top stages by task core-s --")
+    for sid, s in sorted(stages.items(), key=lambda kv: -kv[1].get("task_ms", 0))[:12]:
+        print(f"  stage {sid:4} {s.get('task_ms', 0)/1000:7.1f} core-s "
+              f"tasks={s.get('tasks'):4} max_task={s.get('max_task_ms', 0)/1000:6.1f}s "
+              f"{s.get('name', '')}")
 
 
 if __name__ == "__main__":

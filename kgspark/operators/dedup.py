@@ -132,6 +132,18 @@ def _uf_find(parent: dict, x):
     return r
 
 
+def _df_from_driver(spark, rows, schema):
+    """Driver rows → DataFrame via pandas so the Arrow fast path applies:
+    plain createDataFrame(list-of-tuples) serializes row-by-row through
+    Py4J — measured 5.5s vs 1.2s for 100k 2-string rows — and this cost
+    is SERIAL driver time paid identically at every cluster size, i.e.
+    pure scaling-efficiency loss."""
+    import pandas as pd
+
+    return spark.createDataFrame(
+        pd.DataFrame(rows, columns=[f.name for f in schema.fields]), schema)
+
+
 def _union_find(rows) -> dict:
     """Min-root union-find over (id_a, id_b)-shaped rows; duplicates and
     direction are irrelevant. Returns the parent map (call _uf_find per
@@ -195,9 +207,9 @@ def connected_components(
     if len(head) <= driver_threshold:
         parent = _union_find(head)
         out = [(k, _uf_find(parent, k)) for k in parent]
-        return spark.createDataFrame(
-            out, T.StructType([T.StructField("id", id_type),
-                               T.StructField("comp", id_type)]))
+        return _df_from_driver(
+            spark, out, T.StructType([T.StructField("id", id_type),
+                                      T.StructField("comp", id_type)]))
     edges = (
         pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
         .unionByName(pairs.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst")))
@@ -261,8 +273,9 @@ def build_uuid_map(
     if len(head) <= driver_threshold:
         parent = _union_find(head)
         comp = {k: _uf_find(parent, k) for k in parent}
-        ids_df = spark.createDataFrame(
-            [(k,) for k in comp], T.StructType([T.StructField("id", id_type)]))
+        ids_df = _df_from_driver(
+            spark, [(k,) for k in comp],
+            T.StructType([T.StructField("id", id_type)]))
         sc.setJobDescription("uuid_map: created_at lookup (broadcast semi-join collect)")
         meta = (
             nodes.select("uuid", "created_at")
@@ -283,7 +296,7 @@ def build_uuid_map(
                 best[root] = (key, u)
         rows = [(u, best[root][1]) for u, root in comp.items()
                 if u != best[root][1]]
-        return spark.createDataFrame(rows, out_schema)
+        return _df_from_driver(spark, rows, out_schema)
     comp_df = connected_components(pairs)
     with_meta = comp_df.join(nodes.select("uuid", "created_at"), comp_df.id == nodes.uuid).select(
         "id", "comp", "created_at"

@@ -35,7 +35,12 @@ from kgspark.operators.community import build_communities as _build_communities
 from kgspark.operators.community import remove_communities as _remove_communities
 from kgspark.schemas import PAGES
 from kgspark.search.filters import SearchFilters
-from kgspark.search.fulltext import PostingsIndex, build_index
+from kgspark.search.fulltext import (
+    PostingsIndex,
+    build_index,
+    read_index,
+    refresh_postings_groups,
+)
 from kgspark.search.recipes import (
     EDGE_HYBRID_SEARCH_NODE_DISTANCE,
     EDGE_HYBRID_SEARCH_RRF,
@@ -109,6 +114,13 @@ class KGSpark:
                               entity_types=self.entity_types)
         if will_update:
             self._update_communities_for_batch(pages, now)
+            # ingest refreshed postings BEFORE the community update wrote
+            # its new summaries — re-splice the batch's groups so the
+            # community-kind postings reflect the updated communities
+            groups = pages.select(
+                F.regexp_extract("url", r"^https?://([^/]+)/", 1)
+                .alias("group_id")).distinct()
+            self._refresh_postings_if_maintained(groups)
         self._invalidate_postings()
         return counts
 
@@ -250,8 +262,15 @@ class KGSpark:
         return g
 
     def postings(self) -> PostingsIndex:
+        """The fulltext index (reference's Lucene analogue). Ingest paths
+        maintain it incrementally as group-partitioned store tables
+        (fulltext.refresh_postings_groups), so this is a table read —
+        NOT an O(corpus) rebuild per graph state. The in-memory full
+        build remains only as a fallback for graphs written around the
+        facade (store.write_all in tests)."""
         if self._postings is None:
-            self._postings = build_index(self.graph()).persist()
+            idx = read_index(self.spark, self.store)
+            self._postings = (idx or build_index(self.graph())).persist()
         return self._postings
 
     # ------------------------------------------------------------ retrieval
@@ -330,8 +349,22 @@ class KGSpark:
         members = members.localCheckpoint()
         self.store.write("communities", communities)
         self.store.write("community_members", members)
+        # re-splice only the re-clustered groups' postings (full rebuild:
+        # every group with nodes — the same O() as the rebuild itself)
+        affected = (self.spark.createDataFrame([(x,) for x in group_ids],
+                                               "group_id string")
+                    if group_ids else g["nodes"].select("group_id").distinct())
+        self._refresh_postings_if_maintained(affected)
         self._invalidate_postings()
         return {"communities": communities.count(), "members": members.count()}
+
+    def _refresh_postings_if_maintained(self, groups: DataFrame) -> None:
+        """Re-splice the given groups' postings after a mutation outside
+        the ingest path (community rebuilds, cascades). No-op when the
+        store has no maintained index (graphs written around the facade
+        fall back to the in-memory build in postings())."""
+        if self.store.exists("postings"):
+            refresh_postings_groups(self.spark, self.store, groups)
 
     def remove_communities(self) -> None:
         _remove_communities(self.store, self.spark)
@@ -350,7 +383,10 @@ class KGSpark:
         being byte-reproducible."""
         group_id = self.store.purge_episode_inputs(self.spark, episode_uuid)
         if group_id is None:  # not an ingested episode — graph-table cascade only
-            self.store.remove_episode(self.spark, episode_uuid)
+            gid = self.store.remove_episode(self.spark, episode_uuid)
+            if gid is not None:
+                self._refresh_postings_if_maintained(self.spark.createDataFrame(
+                    [(gid,)], "group_id string"))
         else:
             groups = self.spark.createDataFrame([(group_id,)], "group_id string")
             reassemble_groups(self.spark, self.store, groups, now=now,
@@ -359,6 +395,7 @@ class KGSpark:
         self._invalidate_postings()
 
     def delete_group(self, group_ids: list[str]) -> None:
-        for t in GRAPH_TABLES + ("raw_episodes", "ext_nodes", "ext_edges"):
+        for t in GRAPH_TABLES + ("raw_episodes", "ext_nodes", "ext_edges",
+                                 "postings", "doc_stats"):
             self.store.delete_by_group(self.spark, t, group_ids)
         self._invalidate_postings()

@@ -105,6 +105,53 @@ def build_index(graph: dict[str, DataFrame]) -> PostingsIndex:
     return PostingsIndex(postings, build_doc_stats(postings))
 
 
+def refresh_postings_groups(spark: SparkSession, store, groups: DataFrame) -> int:
+    """Incrementally maintain the materialized ``postings`` / ``doc_stats``
+    store tables for the given group_ids: rebuild the touched groups'
+    postings from the (already-spliced) graph tables — scans pruned to
+    those groups' ``gpart`` partitions — and splice them over the
+    previous index state (store.splice_groups, the Iceberg
+    overwritePartitions emulation).
+
+    This is the Spark analogue of the reference keeping its Lucene
+    fulltext indexes current on every save (the indexes are DDL'd once,
+    graph_data_operations.py:73-82, and every node/edge/episode MERGE
+    updates them): per-ingest-batch index IO is O(touched partitions),
+    never O(corpus). Postings are group-partitionable by construction —
+    every document (edge/node/episode/community) belongs to exactly one
+    group — so a group splice is exact.
+
+    Returns rows written into the touched postings partitions."""
+    parts = store.group_parts(groups)
+    kind_table = {"edge": "edges", "node": "nodes", "episode": "episodes",
+                  "community": "communities"}
+    graph = {}
+    for table in kind_table.values():
+        if store.exists(table):
+            graph[table] = store.read_parts(spark, table, parts).join(
+                F.broadcast(groups), "group_id", "left_semi")
+    if not graph:
+        return 0
+    n = store.splice_groups(spark, "postings", build_postings(graph), groups)
+    # doc_stats from the just-written postings files (pruned read), not
+    # from the lazy build_postings frame — that would re-run tokenization
+    stats = build_doc_stats(
+        store.read_parts(spark, "postings", parts).join(
+            F.broadcast(groups), "group_id", "left_semi"))
+    store.splice_groups(spark, "doc_stats", stats, groups)
+    return n
+
+
+def read_index(spark: SparkSession, store) -> PostingsIndex | None:
+    """The incrementally-maintained index, if the store has one (facade
+    ingest paths keep it current via ``refresh_postings_groups``);
+    None → caller falls back to a full in-memory build."""
+    if store.exists("postings") and store.exists("doc_stats"):
+        return PostingsIndex(store.read(spark, "postings"),
+                             store.read(spark, "doc_stats"))
+    return None
+
+
 def query_terms(query: str) -> list[str]:
     return [t for t in re.split(r"[^a-z0-9]+", query.lower()) if t]
 

@@ -25,7 +25,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 TABLES = ("episodes", "nodes", "edges", "mentions", "communities",
-          "community_members", "postings", "checkpoints")
+          "community_members", "postings", "doc_stats", "checkpoints")
 
 N_BUCKETS = 64
 N_GPARTS = 64
@@ -256,22 +256,24 @@ class GraphStore:
                 self.write(t, rem)
         return group_id
 
-    def remove_episode(self, spark: SparkSession, episode_uuid: str) -> None:
+    def remove_episode(self, spark: SparkSession,
+                       episode_uuid: str) -> str | None:
         """Cascading delete (reference graphiti.py:776-805): drop the
         episode, its mentions, edges only it supports, and orphan nodes.
         The cascade never crosses group_id (node/edge uuids are
         group-scoped), so on partitioned tables the whole rewrite is
-        scoped to the episode's gpart partition."""
+        scoped to the episode's gpart partition. Returns the episode's
+        group_id when it could be determined (for index refresh)."""
         tables = ("episodes", "mentions", "edges", "nodes")
         scoped = all(self.is_partitioned(t) for t in tables)
         parts: list[int] = []
+        hit = self.read(spark, "episodes").where(
+            F.col("uuid") == episode_uuid).select("group_id").take(1)
+        if not hit:
+            return None
+        group_id: str = hit[0]["group_id"]
         if scoped:
-            hit = self.read(spark, "episodes").where(
-                F.col("uuid") == episode_uuid).select("group_id").take(1)
-            if not hit:
-                return
-            groups = spark.createDataFrame(
-                [(hit[0]["group_id"],)], "group_id string")
+            groups = spark.createDataFrame([(group_id,)], "group_id string")
             parts = self.group_parts(groups)
             rd = lambda t: self.read_parts(spark, t, parts)  # noqa: E731
         else:
@@ -296,6 +298,7 @@ class GraphStore:
                 self._overwrite_parts(name, df, parts)
             else:
                 self.write(name, df)
+        return group_id
 
 
 # ------------------------------------------------------------------ S7/S8

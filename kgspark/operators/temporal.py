@@ -62,21 +62,30 @@ def _is_functional():
     )
 
 
-def _close_runs(df: DataFrame, part_cols: list, value_col, now_col, t_col="_t") -> DataFrame:
+def _close_runs(df: DataFrame, part_cols: list, value_col, now_col, t_col="_t",
+                pre_partitioned: bool = False) -> DataFrame:
     """Core T2 window pass: within each partition (ordered by effective
     time), a row's run of equal `value` is closed by the start time of
     the next run with a different value → tighten invalid_at, stamp
-    expired_at (transaction-time end) when this pass changed it."""
-    # Explicit data-sized hash repartition on the window keys: it
-    # satisfies the Window's required ClusteredDistribution, so Catalyst
-    # plans NO additional exchange — this replaces the implicit window
-    # shuffle rather than adding one. The point is the explicit
-    # numPartitions, which is exempt from AQE coalescing: byte-based
-    # coalescing collapsed the slim frame to a single partition and ran
-    # the 3-pass window chain serially (measured 4s single-task at 20k
-    # docs); window sort CPU is invisible to byte sizing.
-    n_parts = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions", "32"))
-    df = df.repartition(n_parts, *part_cols)
+    expired_at (transaction-time end) when this pass changed it.
+
+    ``pre_partitioned``: the caller already holds an explicit hash
+    partitioning on a PREFIX of ``part_cols`` (e.g. group_id) — that
+    satisfies the Window's ClusteredDistribution for every pass, so all
+    passes share ONE exchange and each adds only a partition-local sort
+    (invalidate_edges uses this to run 3 passes on 1 shuffle)."""
+    if not pre_partitioned:
+        # Explicit data-sized hash repartition on the window keys: it
+        # satisfies the Window's required ClusteredDistribution, so
+        # Catalyst plans NO additional exchange — this replaces the
+        # implicit window shuffle rather than adding one. The point is
+        # the explicit numPartitions, which is exempt from AQE
+        # coalescing: byte-based coalescing collapsed the slim frame to
+        # a single partition and ran the window serially (measured 4s
+        # single-task at 20k docs); window sort CPU is invisible to
+        # byte sizing.
+        n_parts = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions", "32"))
+        df = df.repartition(n_parts, *part_cols)
     w = Window.partitionBy(*part_cols).orderBy(t_col, "uuid")
     changed = (
         F.when(F.lag(value_col).over(w).isNull(), F.lit(1))
@@ -105,11 +114,20 @@ def _close_runs(df: DataFrame, part_cols: list, value_col, now_col, t_col="_t") 
     )
 
 
-def invalidate_edges(edges: DataFrame, now: datetime | None = None) -> DataFrame:
+def invalidate_edges(edges: DataFrame, now: datetime | None = None,
+                     n_edges: int | None = None,
+                     slim_threshold: int = 1_000_000,
+                     pre_partition: bool = True) -> DataFrame:
     """T2 over a deduped edge set. Expects columns: uuid, group_id,
     source_node_uuid, target_node_uuid, pred, valid_at, invalid_at,
     ref_ts (the earliest supporting episode's warc_ts). Adds/updates
     invalid_at + expired_at.
+
+    CONTRACT: ``uuid`` must be unique and non-null (what D9 dedupe_edges
+    emits — its uuid is min() over a groupBy key). The slim projection's
+    join-back is an inner equi-join on uuid, so a null uuid row would be
+    dropped and a duplicated uuid would multiply rows; callers passing
+    edges that did not come through dedupe_edges must dedupe first.
 
     The three window passes run over a SLIM projection (uuid, keys,
     timestamps — ~60 bytes/row) and the tightened (invalid_at,
@@ -119,15 +137,22 @@ def invalidate_edges(edges: DataFrame, now: datetime | None = None) -> DataFrame
     bytes than the decision actually needs — the same slim-shuffle move
     as the LSH band join (BASELINE.md fact 14). Cost: one extra uuid
     join; at cluster scale shuffle bytes are the scarce resource and the
-    trade wins by an order of magnitude."""
+    trade wins by an order of magnitude. Below ``slim_threshold`` rows
+    (when the caller supplies ``n_edges``) the projection+join-back is
+    skipped and the windows run over the wide rows directly — at small
+    inputs the extra uuid join costs more wall than the slim shuffle
+    saves (measured crossover documented in BENCH_T2_CROSSOVER.json)."""
     now_col = F.lit(now) if now is not None else F.current_timestamp()
     wide = edges
     if "expired_at" not in wide.columns:
         wide = wide.withColumn("expired_at", F.lit(None).cast("timestamp"))
+    # no size hint → assume big (the scale-default); a caller that knows
+    # the count (the pipeline counts its persisted dedup output anyway)
+    # lets small inputs skip the projection + join-back
+    use_slim = n_edges is None or n_edges >= slim_threshold
 
     is_role = F.col("pred").startswith("IS_") & F.col("pred").endswith("_OF")
-    df = wide.select(
-        "uuid", "group_id", "invalid_at", "expired_at",
+    key_cols = [
         F.coalesce("valid_at", "ref_ts").alias("_t"),
         # pass 1 key/value: antonym classes on the same directed (src, dst)
         F.when(
@@ -145,17 +170,40 @@ def invalidate_edges(edges: DataFrame, now: datetime | None = None) -> DataFrame
             is_role, F.concat_ws("|", "target_node_uuid", "pred"),
         ).otherwise(F.concat(F.lit("solo|"), F.col("uuid"))).alias("_k3"),
         F.col("source_node_uuid").alias("_v3"),
-    )
+    ]
+    if use_slim:
+        df = wide.select("uuid", "group_id", "invalid_at", "expired_at", *key_cols)
+    else:
+        df = wide.select("*", *key_cols)
 
     # Each pass runs over the FULL set with a per-row-unique partition key
     # for rows the pass doesn't apply to (their singleton window has no
     # next run → no-op). Splitting with where()/union instead would put
     # the whole upstream plan into the tree once per branch — 6 subtree
-    # re-evaluations; this way lineage is linear: 3 window shuffles total.
+    # re-evaluations; this way lineage is linear.
+    #
+    # ONE shuffle for all three passes: the explicit hash repartition on
+    # group_id satisfies every pass's ClusteredDistribution(group_id, _k)
+    # (equal (group_id, _k) ⇒ equal group_id ⇒ same partition), so each
+    # pass adds only a partition-local sort — 3 exchanges + 3 AQE stage
+    # materializations collapsed to 1 (the serial per-stage driver cost
+    # was the measured end-to-end scaling drag). Explicit numPartitions
+    # is AQE-coalesce-exempt (see _close_runs). Skew note: this keys the
+    # shuffle by group alone; a single pathologically hot group (one
+    # domain = the whole corpus) sorts in one task — for such corpora
+    # pass pre_partition=False to fall back to per-pass (group, key)
+    # shuffles, which spread the solo rows.
+    if pre_partition:
+        n_parts = int(df.sparkSession.conf.get(
+            "spark.sql.shuffle.partitions", "32"))
+        df = df.repartition(n_parts, "group_id")
     for k, v in (("_k1", "_v1"), ("_k2", "_v2"), ("_k3", "_v3")):
         df = _close_runs(df.withColumn("_k", F.col(k)), ["group_id", "_k"],
-                         F.col(v), now_col)
+                         F.col(v), now_col, pre_partitioned=pre_partition)
+    df = df.drop("_t", "_k", "_k1", "_v1", "_k2", "_v2", "_k3", "_v3")
 
+    if not use_slim:
+        return df.select(*wide.columns)
     slim = df.select("uuid", F.col("invalid_at").alias("_inv"),
                      F.col("expired_at").alias("_exp"))
     return (
@@ -163,6 +211,7 @@ def invalidate_edges(edges: DataFrame, now: datetime | None = None) -> DataFrame
         .join(slim, "uuid")
         .withColumnRenamed("_inv", "invalid_at")
         .withColumnRenamed("_exp", "expired_at")
+        .select(*wide.columns)  # same column order as the wide path
     )
 
 

@@ -90,8 +90,16 @@ def assemble_graph(
     # first such action raced cache population and re-derived the whole
     # extraction→aggregate lineage (measured 113 core-s for a 3k-row
     # lookup). localCheckpoint also truncates the plan AQE has to
-    # re-optimize per consumer.
-    nodes0 = build_entity_nodes(ext_nodes, embed_dim).localCheckpoint(eager=True)
+    # re-optimize per consumer. Trade-off: checkpoint blocks are
+    # unreplicated executor storage, so lineage CANNOT recompute them
+    # after executor loss — on preemptible/spot clusters prefer
+    # persist(MEMORY_AND_DISK) or reliable checkpointing for this
+    # subtree (KGSPARK_EAGER_CKPT=0 switches to a plain persist).
+    if os.environ.get("KGSPARK_EAGER_CKPT", "1") != "0":
+        nodes0 = build_entity_nodes(ext_nodes, embed_dim).localCheckpoint(eager=True)
+    else:
+        nodes0 = build_entity_nodes(ext_nodes, embed_dim).persist()
+        nodes0.count()
     if dedup:
         pairs = alias_pairs(nodes0)
         uuid_map = build_uuid_map(nodes0, pairs).persist()
@@ -102,11 +110,16 @@ def assemble_graph(
         nodes = nodes0
         edges_resolved = ext_edges
 
-    # persisted because invalidate_edges consumes it TWICE (slim window
-    # side + wide join-back side) — without the cache the whole
-    # resolve+dedupe subtree is evaluated once per side
+    # persisted because invalidate_edges' slim path consumes it TWICE
+    # (slim window side + wide join-back side) — without the cache the
+    # whole resolve+dedupe subtree is evaluated once per side. The
+    # count() materializes the cache (the first consumer paid that
+    # anyway) and feeds the T2 size gate: below the slim threshold the
+    # projection+join-back costs more than it saves.
     edges_deduped = dedupe_edges(edges_resolved, n_salt=edge_salt).persist()
-    edges_temporal = invalidate_edges(edges_deduped, now).persist()
+    n_deduped = edges_deduped.count()
+    edges_temporal = invalidate_edges(edges_deduped, now,
+                                      n_edges=n_deduped).persist()
 
     # E4: typed attributes + fact-derived summaries from the node's own
     # (canonical, invalidation-aware) edges — one extra shuffle; skipped

@@ -287,15 +287,20 @@ def build_uuid_map(
         created = {r["uuid"]: r["created_at"] for r in meta}
         # first-wins key mirrors min_by(id, struct(created_at, id)) with
         # Spark's NULLS-FIRST ascending struct order (created_at is in
-        # practice never null — it derives from warc_ts)
+        # practice never null — it derives from warc_ts). Ids in `pairs`
+        # but absent from `nodes` are skipped entirely — the distributed
+        # path's inner join drops them, and the two public paths must
+        # agree (pipeline pairs always derive from nodes, so this only
+        # matters for direct API callers).
         best: dict = {}
         for u, root in comp.items():
-            ts = created.get(u)
-            key = (ts is not None, ts, u)
+            if u not in created:
+                continue
+            key = (created[u] is not None, created[u], u)
             if root not in best or key < best[root][0]:
                 best[root] = (key, u)
         rows = [(u, best[root][1]) for u, root in comp.items()
-                if u != best[root][1]]
+                if u in created and u != best[root][1]]
         return _df_from_driver(spark, rows, out_schema)
     comp_df = connected_components(pairs)
     with_meta = comp_df.join(nodes.select("uuid", "created_at"), comp_df.id == nodes.uuid).select(

@@ -69,3 +69,53 @@ def test_connected_components_transitive(spark):
     assert comp["a"] == comp["b"] == comp["c"]  # D4 chain a→b→c compressed
     assert comp["x"] == comp["y"]
     assert comp["a"] != comp["x"]
+
+
+def _alias_graph():
+    """Deterministic stress graph for the CC/uuid-map scale paths:
+    3 deep chains (40 hops — exercises pointer-jumping depth, since
+    label propagation alone covers only O(rounds) hops), 2 cliques,
+    and isolated pairs. ~200 nodes / ~260 pairs."""
+    pairs = []
+    for c in range(3):
+        pairs += [(f"ch{c}n{j:02d}", f"ch{c}n{j + 1:02d}") for j in range(40)]
+    for q in range(2):
+        ids = [f"cl{q}n{j}" for j in range(8)]
+        pairs += [(a, b) for i, a in enumerate(ids) for b in ids[i + 1:]]
+    pairs += [(f"p{i}a", f"p{i}b") for i in range(10)]
+    return pairs
+
+
+def test_distributed_cc_and_uuid_map_match_driver_paths(spark):
+    """The ≥threshold scale branches (distributed pointer-jumping CC,
+    join-formulated uuid map) must agree exactly with the driver
+    union-find fast paths on the same input — forced by driver_threshold=0."""
+    from datetime import datetime, timedelta
+
+    from kgspark.operators.dedup import build_uuid_map
+
+    pairs = _alias_graph()
+    pdf = pd.DataFrame(pairs, columns=["id_a", "id_b"])
+    df = spark.createDataFrame(pdf).repartition(8)
+
+    fast = {r["id"]: r["comp"] for r in
+            connected_components(df, driver_threshold=10**6).collect()}
+    # rounds=6 → covers diameter ~2^6, enough for the 40-hop chains
+    dist = {r["id"]: r["comp"] for r in
+            connected_components(df, rounds=6, driver_threshold=0).collect()}
+    assert dist == fast
+    # chains really collapse to one component each
+    assert len({v for k, v in fast.items() if k.startswith("ch1")}) == 1
+
+    # uuid-map parity: created_at varies so first-wins is non-trivial
+    ids = sorted({x for p in pairs for x in p})
+    t0 = datetime(2024, 1, 1)
+    nodes = spark.createDataFrame(pd.DataFrame({
+        "uuid": ids,
+        "created_at": [t0 + timedelta(minutes=(hash(i) % 997)) for i in ids],
+    }))
+    fast_m = {r["uuid"]: r["canonical_uuid"] for r in
+              build_uuid_map(nodes, df, driver_threshold=10**6).collect()}
+    dist_m = {r["uuid"]: r["canonical_uuid"] for r in
+              build_uuid_map(nodes, df, driver_threshold=0).collect()}
+    assert dist_m == fast_m and len(fast_m) > 100

@@ -15,6 +15,7 @@ from __future__ import annotations
 import glob
 import json
 import os
+import re
 import sys
 import time
 
@@ -80,9 +81,15 @@ def main() -> None:
                     }
                 elif e and e.endswith("SparkListenerSQLExecutionStart"):
                     plan = ev.get("physicalPlanDescription", "")
-                    # grab the most informative operator lines
-                    ops = [ln.strip("+- *() ").split("(")[0] for ln in plan.splitlines()
-                           if any(k in ln for k in ("ArrowEvalPython", "FlatMapsInPandas",
+                    # grab the most informative operator lines; "InPandas"
+                    # substring-matches the real pandas operators
+                    # (FlatMapGroupsInPandas, MapInPandas, ...), and the
+                    # regex strip removes codegen ids ("*(3) HashAggregate")
+                    # so the uniq dedup below actually collapses repeats
+                    ops = [re.sub(r"^[+\-: ]*\*?(\(\d+\)\s*)?", "",
+                                  ln.strip()).split("(")[0].strip()
+                           for ln in plan.splitlines()
+                           if any(k in ln for k in ("ArrowEvalPython", "InPandas",
                                                     "Window", "SortMergeJoin",
                                                     "BroadcastHashJoin", "HashAggregate",
                                                     "ObjectHashAggregate", "Generate"))]

@@ -202,6 +202,55 @@ def ivf_topk(
     return brute_force_topk(cell, id_col, emb_col, query_vec, k)
 
 
+def ivf_write_index(
+    df: DataFrame, id_col: str, emb_col: str, path: str,
+    n_centroids: int = 16, centroids: list[list[float]] | None = None,
+) -> list[list[float]]:
+    """Materialize the IVF index: precompute the assignment column and
+    write the table hive-partitioned by ``cid`` (at cluster scale: the
+    Iceberg partition transform). A probe then reads ONLY its n_probe
+    ``cid=`` directories — the scan is partition-pruned by the storage
+    layout, not just row-filtered (`PartitionFilters: [cid IN (...)]` in
+    the probe plan; physically verified in test_datapipe by corrupting a
+    non-probed partition's files and probing successfully). Returns the
+    centroid list (persist it next to the index; probes need it)."""
+    cents = centroids if centroids is not None else ivf_centroids(
+        df, id_col, emb_col, n_centroids)
+    assigned = df.withColumn(
+        "cid", ivf_assign(F.col(emb_col).cast("array<double>"), cents))
+    (assigned.write.mode("overwrite").option("compression", "zstd")
+     .partitionBy("cid").parquet(path))
+    return cents
+
+
+def ivf_probe_index(
+    spark, path: str, id_col: str, emb_col: str, query_vec: list[float],
+    centroids: list[list[float]], n_probe: int = 4, k: int = 10,
+    schema=None,
+) -> DataFrame:
+    """Probe a materialized IVF index (``ivf_write_index``): rank the
+    stored centroids against the query on the driver (k × dim floats —
+    tiny), then scan only the n_probe nearest cells. The cid IN-filter
+    is a partition filter on the hive layout, so unprobed cells'
+    files are never opened."""
+    import math
+
+    def _cos(c):
+        num = sum(a * b for a, b in zip(c, query_vec))
+        den = math.sqrt(sum(a * a for a in c)) * math.sqrt(
+            sum(b * b for b in query_vec)) or 1.0
+        return num / den
+
+    probe = sorted(range(len(centroids)),
+                   key=lambda i: (-_cos(centroids[i]), i))[:n_probe]
+    # explicit schema (from the table catalog at cluster scale) skips
+    # footer-based inference, so NO file outside the probed cells is
+    # ever opened — not even for schema discovery
+    reader = spark.read.schema(schema) if schema is not None else spark.read
+    cell = reader.parquet(path).where(F.col("cid").isin(probe))
+    return brute_force_topk(cell, id_col, emb_col, query_vec, k)
+
+
 def knn_join(
     left: DataFrame, right: DataFrame, left_id: str, right_id: str,
     emb_col: str, dim: int, k: int = 5, n_planes: int = 8,

@@ -15,6 +15,7 @@ from __future__ import annotations
 
 import json
 import os
+import statistics
 import sys
 import time
 
@@ -27,6 +28,15 @@ CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 # pipeline corpus size scales with the sf of the test dir
 _SF = float(SF_DIR.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in SF_DIR else 0.1
 PIPE_DOCS = int(os.environ.get("SPARK_GRAFT_PIPE_DOCS", str(max(200, int(200_000 * _SF)))))
+# Controlled-measurement protocol: every metric is run REPEATS times and
+# reported as the MEDIAN, with per-run raw values in "runs" — the sandbox
+# shares its kernel/FS with co-tenants (±40% wall noise documented in
+# BASELINE.md), so single-shot numbers are not comparable across rounds.
+REPEATS = max(1, int(os.environ.get("SPARK_GRAFT_REPEATS", "3")))
+# the pipeline leg is ~50× costlier than a query; the scaling harness
+# (which repeats at its own level) sets this to 1
+PIPE_REPEATS = max(1, int(os.environ.get("SPARK_GRAFT_PIPE_REPEATS",
+                                         str(REPEATS))))
 
 BENCH_QUERIES = [
     "q3_bm25", "q4_cosine_topk", "q7_rrf", "t2_invalidation",
@@ -94,12 +104,21 @@ def main() -> None:
     # attributes (that is the point-update path's stage; see
     # pipeline.build_graph docstring). E4 hydration is benched by its
     # own oracle query (e4_attributes) and the e2e eval.
-    t0 = time.perf_counter()
-    g = build_graph(pages, now=datetime(2024, 6, 1))
-    n_edges = g["edges"].count()
-    n_nodes = g["nodes"].count()
-    pipe_sec = time.perf_counter() - t0
+    runs: dict[str, list[float]] = {}
+    pipe_runs = []
+    n_edges = n_nodes = 0
+    for _ in range(PIPE_REPEATS):
+        t0 = time.perf_counter()
+        g = build_graph(pages, now=datetime(2024, 6, 1))
+        n_edges = g["edges"].count()
+        n_nodes = g["nodes"].count()
+        pipe_runs.append(round(time.perf_counter() - t0, 3))
+        # builds persist intermediates internally; drop them so repeat
+        # runs measure the same cold-cache job (pages stay checkpointed)
+        spark.catalog.clearCache()
+    pipe_sec = statistics.median(pipe_runs)
     timings["pipeline_build_graph"] = round(pipe_sec, 3)
+    runs["pipeline_build_graph"] = pipe_runs
 
     # ---------------- operator/retrieval queries at the sf dir
     qs = entry_mod.queries()
@@ -116,10 +135,14 @@ def main() -> None:
         timings["bm25_index_build"] = round(time.perf_counter() - t0, 3)
     for name in (BENCH_QUERIES if qs else []):
         fn = qs[name]
-        t0 = time.perf_counter()
-        df = fn(spark, SF_DIR)
-        df.count()  # materialize; results stay distributed
-        timings[name] = round(time.perf_counter() - t0, 3)
+        vals = []
+        for _ in range(REPEATS):
+            t0 = time.perf_counter()
+            df = fn(spark, SF_DIR)
+            df.count()  # materialize; results stay distributed
+            vals.append(round(time.perf_counter() - t0, 3))
+        timings[name] = round(statistics.median(vals), 3)
+        runs[name] = vals
 
     total = time.perf_counter() - total_start
     docs_per_sec = PIPE_DOCS / pipe_sec if pipe_sec else 0.0
@@ -130,6 +153,8 @@ def main() -> None:
         "value": round(total, 3),
         "unit": "sec",
         "queries": timings,
+        "runs": runs,  # raw per-repeat values behind each median
+        "repeats": {"queries": REPEATS, "pipeline": PIPE_REPEATS},
         "sf": _SF,
         "pipeline": {
             "docs": PIPE_DOCS,

@@ -23,9 +23,11 @@ def rrf(ranked_lists: list[DataFrame], min_score: float = 0.0) -> DataFrame:
     lists (rank is 0-based position), sort desc, min_score cut."""
     tagged = []
     for df in ranked_lists:
-        # global rank over a candidate list of ≤ 2×limit rows — the
-        # constant partition key keeps semantics and stops the
-        # "No Partition Defined" WARN flood from masking real warnings
+        # global rank over a candidate list of ≤ 2×limit rows — bounded,
+        # so the single-partition window is safe at any scale. (The
+        # lit(0) partition key is folded away by Catalyst; WindowExec's
+        # "No Partition Defined" WARN is silenced at the logger instead —
+        # see session._silence_bounded_window_warn.)
         w = Window.partitionBy(F.lit(0)).orderBy(F.desc("score"), "uuid")
         tagged.append(
             df.withColumn("rank", F.row_number().over(w) - 1).select("uuid", "rank")

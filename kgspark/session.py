@@ -141,4 +141,24 @@ def get_spark(
         b = b.config(k, v)
     spark = b.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    _silence_bounded_window_warn(spark)
     return spark
+
+
+def _silence_bounded_window_warn(spark: SparkSession) -> None:
+    """WindowExec warns "No Partition Defined ... single partition" once
+    per global-rank window. Every such window in this engine ranks a
+    BOUNDED candidate list (≤ 2×limit rows by construction — see
+    kgspark/search/rerank.py), so the warning is noise that buries real
+    warnings in the bench tail. It cannot be silenced in the plan: a
+    constant partition key like partitionBy(lit(0)) is folded away by
+    Catalyst and non-deterministic keys are rejected in window specs —
+    so raise that ONE logger's threshold instead (log4j2 Configurator
+    via the py4j gateway)."""
+    try:
+        jvm = spark.sparkContext._jvm
+        jvm.org.apache.logging.log4j.core.config.Configurator.setLevel(
+            "org.apache.spark.sql.execution.window.WindowExec",
+            jvm.org.apache.logging.log4j.Level.ERROR)
+    except Exception:
+        pass  # non-log4j2 deployment: keep the (harmless) warning

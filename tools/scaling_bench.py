@@ -35,6 +35,7 @@ def run_bench(cpus: int, n_docs: int) -> dict:
         SPARK_GRAFT_CPUS=str(cpus),
         SPARK_GRAFT_PIPE_DOCS=str(n_docs),
         SPARK_GRAFT_SKIP_QUERIES="1",
+        SPARK_GRAFT_PIPE_REPEATS="1",  # this harness repeats at its own level
         SPARK_GRAFT_SF_DIR=os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01"),
         # identical docs-per-partition at BOTH corpus sizes (the marginal
         # method subtracts them — per-task work must not change shape);

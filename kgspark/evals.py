@@ -7,20 +7,31 @@ The reference ingests multi-session chat transcripts per user
 then LLM-judges candidate-vs-baseline per-episode graph results. This
 engine is deterministic, so the eval is exact instead of judged:
 
-1. FIXTURE — multi-session conversations with a scripted fact
-   timeline per user (job changes, moves, sentiment flips) so the
-   expected (subj, pred, obj) set and the expected bi-temporal
-   invalidations are known by construction.
+1. FIXTURE — 12 users × 5 sessions with a scripted evolving fact
+   timeline per user: employer changes, a two-hop MOVED_TO residence
+   chain, a sentiment flip AND re-flip, IS_*_OF role predicates with a
+   role re-assignment to a second person, plus all three episode source
+   types (plain text, role-prefixed message, json — exercising every
+   dispatch branch of _extract_core.extract_episode).
 2. BUILD — one KGSpark store per run; every message is its own
-   add_episode (the reference's exact ingestion shape), groups per
-   user.
+   add_episode (the reference's exact ingestion shape), groups per user.
 3. SCORE —
-   - triple P/R vs the scripted expectation (north-star gate ≥ 0.95);
+   - triple P/R vs the scripted expectation (north-star gate ≥ 0.95),
+     keyed per group so identical cross-user facts stay distinct;
    - invalidation correctness (superseded facts closed, current open);
-   - search-result ordering over a fixed question set, compared to the
+   - search-result ordering over ≥20 questions, compared to the
      committed golden ordering (the north star's "matching ... search
      result ordering on its eval episodes") — goldens regenerate via
      `python tools/eval_e2e.py --write-goldens`.
+
+Re-flip semantics (documented, reference-parity): re-asserting a fact
+that already exists — likes(t1), dislikes(t2), likes(t4) — is a
+DUPLICATE of the t1 edge, which reuses the existing edge and appends
+provenance (reference edge_operations.py:450-477; D9 dedupe first-wins).
+The re-assertion therefore does NOT re-open the fact: final state is
+likes CLOSED at t2, dislikes OPEN — the same outcome the reference's
+per-episode path produces (the duplicate keeps valid_at=t1, and
+invalidation only closes candidates OLDER than the new edge's validity).
 """
 
 from __future__ import annotations
@@ -28,90 +39,154 @@ from __future__ import annotations
 import json
 from datetime import datetime, timedelta
 
-USERS = ["amy", "ben", "cara"]
+USERS = ["amy", "ben", "cara", "dan", "elena", "farid",
+         "gina", "hiro", "iris", "jon", "kim", "luis"]
+CITIES = ["Austin", "Denver", "Boston", "Seattle", "Miami", "Oslo",
+          "Lisbon", "Dublin", "Geneva", "Osaka", "Quito", "Reno"]
+EMPLOYERS = ["Initech", "Globex", "Hooli", "Umbrella", "Vandelay", "Soylent"]
+TEAMS = ["Team Falcons", "Team Ospreys", "Team Ravens",
+         "Team Herons", "Team Condors", "Team Magpies"]
+PLACES = ["Paris", "Kyoto", "Cairo", "Lima", "Rome", "Bergen",
+          "Malta", "Quebec", "Petra", "Sydney", "Venice", "Tulum"]
+DRINKS = ["Coffee", "Tea"]
+COLLEAGUE = "Dana Reed"
+
 T0 = datetime(2024, 1, 10, 9, 0)
+NOW = datetime(2024, 6, 1)
 
 
-def _sessions_for(user: str) -> list[list[tuple[str, str]]]:
-    """Three sessions of (role, content) messages per user, with a
-    scripted evolving fact line: employer change + residence move +
-    sentiment flip — every clause is extractor-friendly message text."""
-    nm = user.capitalize() + " Porter"
-    other = "Dana Reed"
+def _persona(user: str) -> dict:
+    i = USERS.index(user)
+    return {
+        "nm": user.capitalize() + " Porter",
+        "c1": CITIES[i], "c2": CITIES[(i + 1) % 12], "c3": CITIES[(i + 2) % 12],
+        "e1": EMPLOYERS[i % 6], "e2": EMPLOYERS[(i + 3) % 6],
+        "team": TEAMS[i % 6], "drink": DRINKS[i % 2], "place": PLACES[i],
+    }
+
+
+def _sessions_for(user: str) -> list[list[str]]:
+    """Five sessions of episode bodies per user. Bodies carry their own
+    source-type cue (the engine dispatches on content shape, reference
+    nodes.py:57-90): plain sentences → text, "role: ..." → message,
+    "{...}" → json."""
+    p = _persona(user)
+    nm, team = p["nm"], p["team"]
     return [
-        [  # session 1: initial facts
-            ("user", f"{nm} works at Initech. {nm} lives in Austin."),
-            ("assistant", f"{nm} likes Coffee. {nm} trusts {other}."),
-            ("user", f"{other} works at Globex."),
+        [  # session 1 (text): initial facts + role predicate
+            f"{nm} works at {p['e1']}. {nm} lives in {p['c1']}. "
+            f"{nm} likes {p['drink']}. {nm} trusts {COLLEAGUE}. "
+            f"{nm} is the manager of {team}.",
         ],
-        [  # session 2: residence move + sentiment flip
-            ("user", f"{nm} moved to Denver. {nm} lives in Denver."),
-            ("assistant", f"{nm} dislikes Coffee."),
+        [  # session 2 (message, two speakers): first move + sentiment flip
+            f"user: {nm} moved to {p['c2']}. {nm} lives in {p['c2']}.",
+            f"assistant: {nm} dislikes {p['drink']}. {COLLEAGUE} works at Globex.",
         ],
-        [  # session 3: employer change
-            ("user", f"{nm} works at Hooli. {nm} visited Paris."),
+        [  # session 3 (json): profile snapshot (json extraction path)
+            json.dumps({"name": nm, "employer": p["e1"],
+                        "residence": p["c2"], "team": team}),
+        ],
+        [  # session 4 (message): employer change + second move + RE-FLIP
+            f"user: {nm} works at {p['e2']}. {nm} moved to {p['c3']}. "
+            f"{nm} lives in {p['c3']}. {nm} likes {p['drink']}.",
+        ],
+        [  # session 5 (text): role re-assignment + new role + travel
+            f"{COLLEAGUE} is the manager of {team}. "
+            f"{nm} is the director of {team}. {nm} visited {p['place']}.",
         ],
     ]
 
 
 def expected_triples(user: str) -> set[tuple[str, str, str]]:
-    nm = user.capitalize() + " Porter"
-    other = "Dana Reed"
+    p = _persona(user)
+    nm, team = p["nm"], p["team"]
     return {
-        (nm, "WORKS_AT", "Initech"),
-        (nm, "LIVES_IN", "Austin"),
-        (nm, "LIKES", "Coffee"),
-        (nm, "TRUSTS", other),
-        (other, "WORKS_AT", "Globex"),
-        (nm, "MOVED_TO", "Denver"),
-        (nm, "LIVES_IN", "Denver"),
-        (nm, "DISLIKES", "Coffee"),
-        (nm, "WORKS_AT", "Hooli"),
-        (nm, "VISITED", "Paris"),
+        (nm, "WORKS_AT", p["e1"]),
+        (nm, "LIVES_IN", p["c1"]),
+        (nm, "LIKES", p["drink"]),
+        (nm, "TRUSTS", COLLEAGUE),
+        (nm, "IS_MANAGER_OF", team),
+        (nm, "MOVED_TO", p["c2"]),
+        (nm, "LIVES_IN", p["c2"]),
+        (nm, "DISLIKES", p["drink"]),
+        (COLLEAGUE, "WORKS_AT", "Globex"),
+        # json session: predicate = SCREAMING_SNAKE of the key
+        (nm, "EMPLOYER", p["e1"]),
+        (nm, "RESIDENCE", p["c2"]),
+        (nm, "TEAM", team),
+        (nm, "WORKS_AT", p["e2"]),
+        (nm, "MOVED_TO", p["c3"]),
+        (nm, "LIVES_IN", p["c3"]),
+        (COLLEAGUE, "IS_MANAGER_OF", team),
+        (nm, "IS_DIRECTOR_OF", team),
+        (nm, "VISITED", p["place"]),
     }
 
 
 def expected_open_closed(user: str) -> tuple[set, set]:
-    """(facts that must be CLOSED by invalidation, facts still OPEN)."""
-    nm = user.capitalize() + " Porter"
-    closed = {(nm, "LIVES_IN", "Austin"), (nm, "LIKES", "Coffee"),
-              (nm, "WORKS_AT", "Initech")}
-    open_ = {(nm, "LIVES_IN", "Denver"), (nm, "DISLIKES", "Coffee"),
-             (nm, "WORKS_AT", "Hooli")}
+    """(facts that must be CLOSED by invalidation, facts still OPEN).
+    LIVES_IN chain c1→c2→c3 and MOVED_TO chain c2→c3 (functional),
+    WORKS_AT e1→e2 (functional), the sentiment flip (AFFECT class; the
+    re-flip is a duplicate no-op — module docstring), and the
+    IS_MANAGER_OF holder re-assignment (inverse-functional)."""
+    p = _persona(user)
+    nm, team = p["nm"], p["team"]
+    closed = {
+        (nm, "LIVES_IN", p["c1"]),
+        (nm, "LIVES_IN", p["c2"]),
+        (nm, "MOVED_TO", p["c2"]),
+        (nm, "WORKS_AT", p["e1"]),
+        (nm, "LIKES", p["drink"]),
+        (nm, "IS_MANAGER_OF", team),
+    }
+    open_ = {
+        (nm, "LIVES_IN", p["c3"]),
+        (nm, "MOVED_TO", p["c3"]),
+        (nm, "WORKS_AT", p["e2"]),
+        (nm, "DISLIKES", p["drink"]),
+        (nm, "TRUSTS", COLLEAGUE),
+        (COLLEAGUE, "IS_MANAGER_OF", team),
+        (nm, "IS_DIRECTOR_OF", team),
+        (nm, "VISITED", p["place"]),
+        (COLLEAGUE, "WORKS_AT", "Globex"),
+        (nm, "EMPLOYER", p["e1"]),
+        (nm, "RESIDENCE", p["c2"]),
+        (nm, "TEAM", team),
+    }
     return closed, open_
 
 
-# Question phrasing carries candidate terms (the BM25 analyzer does not
-# stem — neither does the reference's Lucene standard analyzer — so
-# "live" would not match "lives"; eval questions name the candidates,
-# like LongMemEval's option-style questions).
-QUESTIONS = [
-    ("amy", "Does Amy Porter live in Austin or Denver?"),
-    ("amy", "Does Amy Porter work at Initech or Hooli?"),
-    ("ben", "Does Ben Porter like Coffee?"),
-    ("cara", "Does Cara Porter trust Dana Reed?"),
-    ("ben", "Dana Reed employer Globex"),
-]
+def questions_for(users: list[str]) -> list[tuple[str, str]]:
+    """Ordering questions (2 per user → 24 at full roster). Question
+    phrasing carries candidate terms (the BM25 analyzer does not stem —
+    neither does the reference's Lucene standard analyzer — so "live"
+    would not match "lives"; questions name the candidates, like
+    LongMemEval's option-style questions)."""
+    qs = []
+    for u in users:
+        p = _persona(u)
+        qs.append((u, f"Does {p['nm']} live in {p['c1']} or {p['c3']}?"))
+        qs.append((u, f"Does {p['nm']} work at {p['e1']} or {p['e2']}?"))
+    return qs
 
-NOW = datetime(2024, 6, 1)
 
-
-def run_eval(spark, store_root: str, last_n_sessions: int | None = None) -> dict:
+def run_eval(spark, store_root: str, users: list[str] | None = None,
+             last_n_sessions: int | None = None) -> dict:
     """Build per-user graphs message-by-message and score. Returns the
-    metrics dict (see module docstring)."""
-    from pyspark.sql import functions as F
-
+    metrics dict (see module docstring). ``users`` defaults to the full
+    12-user roster (the committed EVAL_E2E.json); the pytest smoke uses
+    a 4-user subset for runtime."""
     from kgspark.api import KGSpark
 
+    users = users or USERS
     kg = KGSpark(spark, store_root)
-    for user in USERS:
-        t = T0
+    for user in users:
         for s_idx, session in enumerate(_sessions_for(user)[:last_n_sessions]):
             t = T0 + timedelta(days=7 * s_idx)
-            for m_idx, (role, content) in enumerate(session):
+            for m_idx, content in enumerate(session):
                 kg.add_episode(
                     name=f"s{s_idx}-m{m_idx}",
-                    episode_body=f"{role}: {content}",
+                    episode_body=content,
                     reference_time=t + timedelta(minutes=m_idx),
                     group_id=user,
                     now=NOW,
@@ -120,15 +195,18 @@ def run_eval(spark, store_root: str, last_n_sessions: int | None = None) -> dict
     g = kg.graph()
     nodes = {r["uuid"]: r["name"] for r in g["nodes"].collect()}
     edge_rows = g["edges"].collect()
+    # keyed per group: identical cross-user facts (the shared colleague's)
+    # must not collapse across users
     got = {}
     for r in edge_rows:
-        key = (nodes[r["source_node_uuid"]], r["name"], nodes[r["target_node_uuid"]])
+        key = (r["group_id"], nodes[r["source_node_uuid"]], r["name"],
+               nodes[r["target_node_uuid"]])
         got[key] = r
 
     # --- triple P/R (north-star gate)
     expected = set()
-    for u in USERS:
-        expected |= expected_triples(u)
+    for u in users:
+        expected |= {(u, s, p, o) for (s, p, o) in expected_triples(u)}
     got_keys = set(got)
     tp = len(got_keys & expected)
     precision = tp / len(got_keys) if got_keys else 0.0
@@ -136,22 +214,24 @@ def run_eval(spark, store_root: str, last_n_sessions: int | None = None) -> dict
 
     # --- bi-temporal invalidation correctness
     inv_ok, inv_total = 0, 0
-    for u in USERS:
+    for u in users:
         closed, open_ = expected_open_closed(u)
-        for key in closed:
+        for s, p, o in closed:
             inv_total += 1
-            if key in got and got[key]["invalid_at"] is not None:
+            r = got.get((u, s, p, o))
+            if r is not None and r["invalid_at"] is not None:
                 inv_ok += 1
-        for key in open_:
+        for s, p, o in open_:
             inv_total += 1
-            if key in got and got[key]["invalid_at"] is None:
+            r = got.get((u, s, p, o))
+            if r is not None and r["invalid_at"] is None:
                 inv_ok += 1
 
     # --- search-result ordering per question (top-3 facts, rank order —
     # collect the ranked frame directly; a join would destroy ordering)
     fact_by_uuid = {r["uuid"]: r["fact"] for r in edge_rows}
     orderings = {}
-    for user, q in QUESTIONS:
+    for user, q in questions_for(users):
         ranked = kg.search(q, group_ids=[user], num_results=3).collect()
         orderings[f"{user}|{q}"] = [fact_by_uuid.get(r["uuid"], "?") for r in ranked]
 
@@ -160,16 +240,20 @@ def run_eval(spark, store_root: str, last_n_sessions: int | None = None) -> dict
         "triple_recall": round(recall, 4),
         "invalidation_accuracy": round(inv_ok / inv_total, 4),
         "n_triples": len(got_keys),
+        "n_users": len(users),
+        "n_questions": len(orderings),
         "search_orderings": orderings,
     }
 
 
 def compare_orderings(got: dict, golden: dict) -> float:
-    """Fraction of questions whose full top-k ordering matches golden."""
-    keys = set(golden)
+    """Fraction of GOT questions whose full top-k ordering matches the
+    golden (golden may cover a superset of users — the pytest smoke runs
+    a roster subset against the full committed goldens)."""
+    keys = set(got)
     if not keys:
         return 0.0
-    return sum(1 for k in keys if got.get(k) == golden[k]) / len(keys)
+    return sum(1 for k in keys if got[k] == golden.get(k)) / len(keys)
 
 
 def load_goldens(path: str) -> dict | None:

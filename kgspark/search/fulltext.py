@@ -105,7 +105,8 @@ def build_index(graph: dict[str, DataFrame]) -> PostingsIndex:
     return PostingsIndex(postings, build_doc_stats(postings))
 
 
-def refresh_postings_groups(spark: SparkSession, store, groups: DataFrame) -> int:
+def refresh_postings_groups(spark: SparkSession, store, groups: DataFrame,
+                            parts: list[int] | None = None) -> int:
     """Incrementally maintain the materialized ``postings`` / ``doc_stats``
     store tables for the given group_ids: rebuild the touched groups'
     postings from the (already-spliced) graph tables — scans pruned to
@@ -122,7 +123,8 @@ def refresh_postings_groups(spark: SparkSession, store, groups: DataFrame) -> in
     group — so a group splice is exact.
 
     Returns rows written into the touched postings partitions."""
-    parts = store.group_parts(groups)
+    if parts is None:
+        parts = store.group_parts(groups)
     kind_table = {"edge": "edges", "node": "nodes", "episode": "episodes",
                   "community": "communities"}
     graph = {}
@@ -132,13 +134,14 @@ def refresh_postings_groups(spark: SparkSession, store, groups: DataFrame) -> in
                 F.broadcast(groups), "group_id", "left_semi")
     if not graph:
         return 0
-    n = store.splice_groups(spark, "postings", build_postings(graph), groups)
+    n = store.splice_groups(spark, "postings", build_postings(graph), groups,
+                            parts=parts)
     # doc_stats from the just-written postings files (pruned read), not
     # from the lazy build_postings frame — that would re-run tokenization
     stats = build_doc_stats(
         store.read_parts(spark, "postings", parts).join(
             F.broadcast(groups), "group_id", "left_semi"))
-    store.splice_groups(spark, "doc_stats", stats, groups)
+    store.splice_groups(spark, "doc_stats", stats, groups, parts=parts)
     return n
 
 

@@ -130,12 +130,12 @@ class GraphStore:
         present in the new data, so an emptied one would otherwise keep
         serving its old files."""
         out = out.localCheckpoint()  # materialize before replacing files we read
-        n = int(out.count())
-        present = {
-            r["gpart"]
-            for r in out.select(
-                self._gpart(F.col("group_id")).alias("gpart")).distinct().collect()
-        }
+        # one job yields both the row count and the present-partition set
+        # (micro-batch ingest runs this per table — job count is wall time)
+        per_part = out.groupBy(
+            self._gpart(F.col("group_id")).alias("gpart")).count().collect()
+        n = int(sum(r["count"] for r in per_part))
+        present = {r["gpart"] for r in per_part}
         if present:
             self.write_grouped(table, out, dynamic=True)
         for p in set(parts) - present:
@@ -151,7 +151,8 @@ class GraphStore:
         return n
 
     def splice_groups(self, spark: SparkSession, table: str,
-                      rebuilt: DataFrame, groups: DataFrame) -> int:
+                      rebuilt: DataFrame, groups: DataFrame,
+                      parts: list[int] | None = None) -> int:
         """Replace the given groups' rows with ``rebuilt``, touching only
         their ``gpart`` partitions — the Iceberg
         ``overwritePartitions`` emulation the incremental path runs per
@@ -159,7 +160,10 @@ class GraphStore:
         files are never read or rewritten (tested via mtime in
         test_checkpoint_streaming). A pre-existing unpartitioned table
         is migrated to the partitioned layout on first splice. Returns
-        rows written to the affected partitions."""
+        rows written to the affected partitions. ``parts`` short-circuits
+        the gpart lookup when the caller already collected it (micro-batch
+        ingest splices 6+ tables for the same groups — one tiny lookup
+        job each adds up)."""
         if not self.exists(table):
             out = rebuilt.localCheckpoint()
             self.write_grouped(table, out)
@@ -171,7 +175,8 @@ class GraphStore:
             shutil.rmtree(self.path(table))  # no mixed layouts
             self.write_grouped(table, out)
             return int(out.count())
-        parts = self.group_parts(groups)
+        if parts is None:
+            parts = self.group_parts(groups)
         kept = self.read_parts(spark, table, parts).join(
             groups, "group_id", "left_anti")
         out = kept.unionByName(rebuilt, allowMissingColumns=True)

@@ -116,12 +116,13 @@ def reassemble_groups(
         F.broadcast(groups), "group_id", "left_semi")
     g = assemble_graph(all_eps, all_nodes, all_edges, embed_dim, now,
                        entity_types=entity_types)
-    counts = {t: store.splice_groups(spark, t, g[t], groups)
+    counts = {t: store.splice_groups(spark, t, g[t], groups, parts=parts)
               for t in GRAPH_TABLES}
     # keep the materialized fulltext index current (the reference's
     # Lucene indexes update on every save) — same splice machinery, so
     # per-batch index IO is also O(touched partitions)
     from kgspark.search.fulltext import refresh_postings_groups
 
-    counts["postings"] = refresh_postings_groups(spark, store, groups)
+    counts["postings"] = refresh_postings_groups(spark, store, groups,
+                                                 parts=parts)
     return counts

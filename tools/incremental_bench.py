@@ -1,0 +1,106 @@
+"""Per-batch cost flatness for incremental ingest + search (VERDICT r2
+'What's wrong' #2: postings were rebuilt O(corpus) after every batch —
+a streaming user who searches between micro-batches paid a full-graph
+re-tokenization each time).
+
+Protocol: build two stores with different base corpus sizes (default
+5k and 20k docs, same group count), then ingest K single-group
+micro-batches into each and run a search after every batch. If
+per-batch ingest+search cost is O(touched partitions), the per-batch
+wall must be ~flat in base corpus size; the old design made it grow
+~linearly (4× corpus → ~4× postings rebuild).
+
+Writes BENCH_INCREMENTAL.json:
+  {base_docs: {ingest_s: [...], search_s: [...], median_*}, ratio: ...}
+
+Usage: python tools/incremental_bench.py [small_docs] [big_docs] [k_batches]
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import statistics
+import sys
+import tempfile
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+
+def run_leg(spark, n_docs: int, k_batches: int, n_groups: int) -> dict:
+    from datetime import datetime
+
+    from pyspark.sql import functions as F
+
+    from kgspark.api import KGSpark
+    from kgspark.synth import group_id_col, synth_pages
+
+    now = datetime(2024, 6, 1)
+    root = tempfile.mkdtemp(prefix=f"incbench_{n_docs}_")
+    kg = KGSpark(spark, root)
+
+    pages = synth_pages(spark, n_docs=n_docs, n_groups=n_groups, seed=11)
+    pages = pages.localCheckpoint(eager=True)
+    gids = sorted(r["g"] for r in
+                  pages.select(group_id_col().alias("g")).distinct().collect())
+    batch_groups = gids[:k_batches]
+    base = pages.where(~group_id_col().isin(batch_groups))
+    kg.add_pages(base, now=now)  # the pre-existing corpus
+
+    ingest_s, search_s = [], []
+    for g in batch_groups:
+        batch = pages.where(group_id_col() == F.lit(g))
+        t0 = time.perf_counter()
+        kg.add_pages(batch, now=now)
+        ingest_s.append(round(time.perf_counter() - t0, 3))
+        t0 = time.perf_counter()
+        kg.search("acme corporation alice works", num_results=10).collect()
+        search_s.append(round(time.perf_counter() - t0, 3))
+    return {
+        "base_docs": n_docs,
+        "ingest_s": ingest_s,
+        "search_s": search_s,
+        "ingest_median_s": round(statistics.median(ingest_s), 3),
+        "search_median_s": round(statistics.median(search_s), 3),
+    }
+
+
+def main() -> None:
+    from kgspark.session import get_spark
+
+    small = int(sys.argv[1]) if len(sys.argv) > 1 else 5_000
+    big = int(sys.argv[2]) if len(sys.argv) > 2 else 20_000
+    k = int(sys.argv[3]) if len(sys.argv) > 3 else 5
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "8"))
+    spark = get_spark("incremental-bench", master=f"local[{cpus}]",
+                      shuffle_partitions=cpus)
+    # same group count in both legs → batches touch identically-sized
+    # groups; only the UNTOUCHED corpus grows
+    n_groups = max(64, small // 250)
+    legs = [run_leg(spark, n, k, n_groups) for n in (small, big)]
+    ratio_ing = legs[1]["ingest_median_s"] / legs[0]["ingest_median_s"]
+    ratio_srch = legs[1]["search_median_s"] / legs[0]["search_median_s"]
+    out = {
+        "metric": "incremental_ingest_search_flatness",
+        "unit": f"sec per single-group micro-batch (K={k}), corpus ratio "
+                f"{big / small:.0f}x",
+        "cpus": cpus,
+        "legs": legs,
+        "ingest_cost_ratio_big_over_small": round(ratio_ing, 2),
+        "search_cost_ratio_big_over_small": round(ratio_srch, 2),
+        "interpretation": (
+            "O(touched partitions) per batch => ratios ~1 despite the "
+            f"{big / small:.0f}x corpus; the round-2 design (full postings "
+            "rebuild per batch) grew the search-after-ingest cost with "
+            "corpus size"
+        ),
+    }
+    with open(os.path.join(REPO, "BENCH_INCREMENTAL.json"), "w") as f:
+        json.dump(out, f, indent=2)
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()

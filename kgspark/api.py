@@ -399,3 +399,17 @@ class KGSpark:
                                  "postings", "doc_stats"):
             self.store.delete_by_group(self.spark, t, group_ids)
         self._invalidate_postings()
+
+    def compact(self, tables: tuple[str, ...] | None = None,
+                target_bytes: int = 128 << 20) -> dict[str, dict]:
+        """Maintenance: small-file compaction over the store tables
+        (Iceberg ``rewrite_data_files``). Streaming ingest appends one
+        file per micro-batch per touched partition; run this on a
+        schedule to keep scan open-cost flat. Row-identical, skips
+        already-compact partitions. Returns per-table stats."""
+        if tables is None:
+            tables = GRAPH_TABLES + ("raw_episodes", "ext_nodes",
+                                     "ext_edges", "postings", "doc_stats")
+        return {t: self.store.compact(self.spark, t,
+                                      target_bytes=target_bytes)
+                for t in tables if self.store.exists(t)}

@@ -182,6 +182,86 @@ class GraphStore:
         out = kept.unionByName(rebuilt, allowMissingColumns=True)
         return self._overwrite_parts(table, out, parts)
 
+    # ------------------------------------------------------- maintenance
+    def _part_files(self, d: str) -> list[str]:
+        return [os.path.join(d, f) for f in os.listdir(d)
+                if f.endswith(".parquet")]
+
+    def compact(self, spark: SparkSession, table: str,
+                parts: list[int] | None = None,
+                target_bytes: int = 128 << 20) -> dict:
+        """Small-file compaction — the Iceberg ``rewrite_data_files``
+        analogue. Streaming ingest appends one file per micro-batch per
+        touched ``gpart`` partition (append_grouped), and every splice
+        writes as many files as shuffle tasks hit the partition; at
+        streaming rates a partition accumulates hundreds of small files
+        and scan/open overhead starts to dominate reads. This rewrites
+        each (touched) partition's files into
+        ``max(1, ceil(partition_bytes / target_bytes))`` files —
+        row-identical, scoped to the partitions it touches (untouched
+        partition files are never read or rewritten; tested via mtime in
+        test_store_compact). Already-compact partitions are skipped, so
+        running it on a schedule is idempotent and cheap.
+
+        One small Spark job per compacted partition, committed via
+        write-to-tmp + atomic dir swap (the crash-safe order: new files
+        exist before old ones go). At cluster scale (4096+ partitions)
+        submit these jobs from a thread pool — they're independent —
+        exactly how Iceberg plans per-file-group rewrites.
+
+        Returns {"files_before", "files_after", "parts"} for the touched
+        partitions."""
+        path = self.path(table)
+        if not self.exists(table):
+            return {"files_before": 0, "files_after": 0, "parts": []}
+        if not self.is_partitioned(table):
+            files = self._part_files(path)
+            n_target = max(1, -(-sum(os.path.getsize(f) for f in files)
+                                // target_bytes))
+            if len(files) <= n_target:
+                return {"files_before": len(files),
+                        "files_after": len(files), "parts": []}
+            out = spark.read.parquet(path).coalesce(n_target).localCheckpoint()
+            (out.write.mode("overwrite").option("compression", "zstd")
+             .parquet(path))
+            return {"files_before": len(files),
+                    "files_after": len(self._part_files(path)), "parts": []}
+        touched, before, after = [], 0, 0
+        for entry in sorted(os.listdir(path)):
+            if not entry.startswith("gpart="):
+                continue
+            p = int(entry.split("=", 1)[1])
+            if parts is not None and p not in parts:
+                continue
+            d = os.path.join(path, entry)
+            files = self._part_files(d)
+            n_target = max(1, -(-sum(os.path.getsize(f) for f in files)
+                                // target_bytes))
+            if len(files) <= n_target:
+                continue
+            sub = spark.read.parquet(d).coalesce(n_target)
+            tmp = os.path.join(path, f".compact-tmp-gpart={p}")
+            (sub.write.mode("overwrite").option("compression", "zstd")
+             .parquet(tmp))
+            # drop the _SUCCESS marker so the dir is pure data files like
+            # a dynamic-overwrite partition dir
+            marker = os.path.join(tmp, "_SUCCESS")
+            if os.path.exists(marker):
+                os.remove(marker)
+            # two renames + delete: both copies exist on disk at every
+            # instant, so a crash never loses rows — at worst the
+            # partition is parked under a dot-dir (restorable by
+            # renaming it back) until a restart sweep
+            old = os.path.join(path, f".compact-old-gpart={p}")
+            os.rename(d, old)
+            os.rename(tmp, d)
+            shutil.rmtree(old)
+            touched.append(p)
+            before += len(files)
+            after += len(self._part_files(d))
+        return {"files_before": before, "files_after": after,
+                "parts": touched}
+
     def exists(self, table: str) -> bool:
         p = self.path(table)
         if not os.path.isdir(p):

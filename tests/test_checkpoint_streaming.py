@@ -174,3 +174,31 @@ def test_stream_ingest_available_now(spark, tmp_path, oneshot):
     assert _edge_key_rows(store.read(spark, "edges")) == oneshot["edges"]
     assert _node_key_rows(store.read(spark, "nodes")) == oneshot["nodes"]
     assert os.path.isdir(str(tmp_path / "ckpt"))
+
+
+def test_stream_ingest_auto_compaction(spark, tmp_path, oneshot):
+    """compact_every merges the per-batch small files without changing
+    a single row: the stream converges to the same graph, and the
+    append-only side tables end up with fewer files than batches."""
+    pages = synth_pages(spark, n_docs=N_DOCS, n_groups=N_GROUPS, seed=7)
+    in_dir = str(tmp_path / "in")
+    n_batches = 4
+    for i in range(n_batches):
+        pages.where(F.pmod(F.xxhash64("url"), F.lit(n_batches)) == i) \
+            .coalesce(1).write.mode("append").parquet(in_dir)
+    store_root = str(tmp_path / "stream_store")
+    stream_ingest(
+        spark, in_dir, store_root, str(tmp_path / "ckpt"),
+        now=NOW, max_files_per_trigger=1, compact_every=n_batches,
+    )
+    store = GraphStore(store_root)
+    assert _edge_key_rows(store.read(spark, "edges")) == oneshot["edges"]
+    assert _node_key_rows(store.read(spark, "nodes")) == oneshot["nodes"]
+    # raw_episodes is append-only: every gpart dir took one file per
+    # batch that touched it; the sweep merged each back to one
+    root = store.path("raw_episodes")
+    for entry in os.listdir(root):
+        if entry.startswith("gpart="):
+            files = [f for f in os.listdir(os.path.join(root, entry))
+                     if f.endswith(".parquet")]
+            assert len(files) == 1, f"{entry}: {len(files)} files survive"

@@ -181,6 +181,16 @@ def build_entity_nodes(ext_nodes: DataFrame, embed_dim: int = 64) -> DataFrame:
         )
     )
     embed = embedder_udf(embed_dim)
+    # Explicit data-sized repartition before the name-embedding UDF: AQE
+    # coalesces the groupBy output by BYTES (slim node rows → 3 partitions
+    # at 150k docs / advisory 32m), so the pandas-UDF embed stage — and
+    # every downstream UDF stage that inherits nodes0's partitioning
+    # (alias_pairs' MinHash banding) — ran near-serial regardless of core
+    # count (profiled: 3-task ArrowEvalPython stages, 3s max tasks). Same
+    # fix as the edge-embed stage in pipeline.assemble_graph; the extra
+    # exchange moves only slim pre-embedding rows (~200 B/row).
+    n_parts = int(agg.sparkSession.conf.get("spark.sql.shuffle.partitions", "32"))
+    agg = agg.repartition(n_parts)
     return (
         agg.withColumn("labels", F.array(F.lit("Entity"), F.col("entity_type")))
         .withColumn("labels", F.array_distinct("labels"))

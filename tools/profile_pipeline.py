@@ -117,6 +117,15 @@ def main() -> None:
                     st["task_ms"] = st.get("task_ms", 0) + dur
                     st["max_task_ms"] = max(st.get("max_task_ms", 0), dur)
                     st["gc_ms"] = st.get("gc_ms", 0) + m.get("JVM GC Time", 0)
+                    sw = m.get("Shuffle Write Metrics") or {}
+                    sr = m.get("Shuffle Read Metrics") or {}
+                    st["sw_b"] = st.get("sw_b", 0) + sw.get("Shuffle Bytes Written", 0)
+                    st["sr_b"] = st.get("sr_b", 0) + (
+                        sr.get("Remote Bytes Read", 0) + sr.get("Local Bytes Read", 0))
+                    st["spill_b"] = st.get("spill_b", 0) + (
+                        m.get("Memory Bytes Spilled", 0) + m.get("Disk Bytes Spilled", 0))
+                    st["in_b"] = st.get("in_b", 0) + (
+                        (m.get("Input Metrics") or {}).get("Bytes Read", 0))
 
     done = sorted((j for j in jobs.values() if "start" in j and "end" in j
                    and j["start"] >= t0_epoch_ms),
@@ -137,6 +146,8 @@ def main() -> None:
     sgaps = [max(0, b["start"] - a["end"]) for a, b in zip(sdone, sdone[1:])]
     task_s = sum(s.get("task_ms", 0) for s in stages.values()) / 1000
     gc_s = sum(s.get("gc_ms", 0) for s in stages.values()) / 1000
+    sw_mb = sum(s.get("sw_b", 0) for s in stages.values()) / 1e6
+    spill_mb = sum(s.get("spill_b", 0) for s in stages.values()) / 1e6
 
     print(json.dumps({
         "wall_s": round(wall, 1),
@@ -150,6 +161,8 @@ def main() -> None:
         "task_time_core_s": round(task_s, 1),
         "gc_core_s": round(gc_s, 1),
         "parallelism_achieved": round(task_s / max(stage_wall, 1e-9), 2),
+        "shuffle_write_mb": round(sw_mb, 1),
+        "spill_mb": round(spill_mb, 1),
         "cpus": cpus,
         "n_docs": n_docs,
     }, indent=1))
@@ -167,6 +180,17 @@ def main() -> None:
         print(f"  stage {sid:4} {s.get('task_ms', 0)/1000:7.1f} core-s "
               f"tasks={s.get('tasks'):4} max_task={s.get('max_task_ms', 0)/1000:6.1f}s "
               f"{s.get('name', '')}")
+
+    print("\n-- top stages by shuffle bytes (write + read) --")
+    bykey = sorted(stages.items(),
+                   key=lambda kv: -(kv[1].get("sw_b", 0) + kv[1].get("sr_b", 0)))
+    for sid, s in bykey[:12]:
+        tot = s.get("sw_b", 0) + s.get("sr_b", 0)
+        if tot == 0:
+            break
+        print(f"  stage {sid:4} write={s.get('sw_b', 0)/1e6:8.1f}MB "
+              f"read={s.get('sr_b', 0)/1e6:8.1f}MB spill={s.get('spill_b', 0)/1e6:7.1f}MB "
+              f"core_s={s.get('task_ms', 0)/1000:7.1f} {s.get('name', '')}")
 
 
 if __name__ == "__main__":

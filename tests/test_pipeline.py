@@ -122,3 +122,18 @@ def test_determinism(spark):
         return sorted(tuple(str(v) for v in r) for r in rows)
 
     assert run() == run()
+
+
+def test_node_embed_stage_parallelism(spark):
+    """The name-embedding pandas UDF (and the downstream MinHash banding
+    that inherits nodes0's partitioning) must run at the data-sized
+    partition count, not whatever AQE's byte-based coalescing leaves:
+    slim node rows coalesce to ~3 partitions at 150k docs, serializing
+    every CPU-bound UDF stage regardless of core count (profiled)."""
+    from kgspark.operators.extract import build_entity_nodes, pages_to_episodes, run_extraction
+
+    pages = synth_pages(spark, n_docs=300, n_groups=8, seed=7)
+    _, ext_nodes, _ = run_extraction(pages_to_episodes(pages))
+    nodes0 = build_entity_nodes(ext_nodes)
+    n_conf = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    assert nodes0.rdd.getNumPartitions() == n_conf

@@ -781,6 +781,66 @@ def q_fingerprint(spark, sf):
         "doc_id", fingerprint60(F.col("text")).alias("fp"))
 
 
+def q_decontaminate(spark, sf):
+    """datapipe/curate.decontaminate: benchmark-overlap decontamination
+    (GPT-3 appendix-C / Llama-2 style n-gram filter; n=4 here because the
+    synthetic docs are short — real pipelines use 13). The 'benchmark' is
+    the doc_id % 50 == 0 slice; output = training docs sharing any word
+    4-gram with it, with the count of distinct contaminated grams. The
+    gram dictionary is broadcast; the corpus side never shuffles except
+    the partial-agg hit count."""
+    from kgspark.datapipe.curate import decontaminate
+
+    docs = _documents(spark, sf)
+    bench = docs.where(F.col("doc_id") % 50 == 0)
+    train = docs.where(F.col("doc_id") % 50 != 0)
+    return decontaminate(train, bench, n=4).orderBy("doc_id")
+
+
+def q_repetition_signals(spark, sf):
+    """datapipe/curate.repetition_signals: Gopher-style duplicate-n-gram
+    quality fractions (Rae et al. 2021 §A1.1; Dolma/RefinedWeb filters) —
+    explode → map-side-combinable two-level agg, linear in corpus size."""
+    from kgspark.datapipe.curate import repetition_signals
+
+    return repetition_signals(_documents(spark, sf)).orderBy("doc_id")
+
+
+def _messy_urls(spark, sf):
+    """Deterministic messy-URL table derived from documents: scheme/host
+    case noise, www., default :443 port, trailing slash, utm_* tracking
+    params, fragments — every canonicalization rule exercised, with
+    collisions by construction (host = doc_id%7, path = doc_id%13)."""
+    d = F.col("doc_id")
+    s = lambda e: e.cast("string")  # noqa: E731
+    url = F.concat(
+        F.when(d % 3 == 0, F.lit("HTTP://")).otherwise(F.lit("https://")),
+        F.when(d % 2 == 0, F.lit("www.")).otherwise(F.lit("")),
+        F.lit("Src"), s(d % 7), F.lit(".Example.COM"),
+        F.when(d % 11 == 0, F.lit(":443")).otherwise(F.lit("")),
+        F.lit("/Docs/"), s(d % 13),
+        F.when(d % 4 == 0, F.lit("/")).otherwise(F.lit("")),
+        F.when(d % 2 == 0, F.concat(F.lit("?p="), s(d % 13), F.lit("&utm_campaign=x")))
+         .when(d % 5 == 0, F.lit("?utm_source=feed")).otherwise(F.lit("")),
+        F.when(d % 6 == 0, F.lit("#frag")).otherwise(F.lit("")),
+    )
+    return _documents(spark, sf).select("doc_id", url.alias("url"))
+
+
+def q_url_dedup(spark, sf):
+    """datapipe/curate.dedup_by_url: canonical-URL crawl dedup — one
+    hash-partitioned min_by groupBy on canonicalize_url(url); keeps the
+    earliest capture (doc_id here stands in for warc_ts)."""
+    from kgspark.datapipe.curate import dedup_by_url
+
+    pages = _messy_urls(spark, sf)
+    return (
+        dedup_by_url(pages, url_col="url", order_col="doc_id")
+        .select("url_norm", F.col("doc_id").alias("keep_doc_id"), "n_dupes")
+        .orderBy("url_norm")
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "s8_keyset_pagination": q_s8_keyset_pagination,
@@ -830,6 +890,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_neardup_lsh": q_embedding_neardup_lsh,
         "ivf_ann": q_ivf_ann,
         "fingerprint": q_fingerprint,
+        # corpus-curation ops (datapipe/curate.py): decontamination,
+        # Gopher repetition signals, canonical-URL crawl dedup
+        "decontaminate": q_decontaminate,
+        "repetition_signals": q_repetition_signals,
+        "url_dedup": q_url_dedup,
     }
 
 
@@ -1471,5 +1536,97 @@ def oracle_sql() -> dict[str, str]:
                      (acc, h) -> ('0x' || substr(md5(acc::VARCHAR || '|' ||
                                   h::VARCHAR), 1, 15))::UBIGINT)::BIGINT AS fp
             FROM dg
+        """,
+        "decontaminate": """
+            WITH toks AS (
+              SELECT doc_id,
+                     list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                                 x -> x <> '') AS t
+              FROM documents
+            ), grams AS (
+              SELECT doc_id,
+                     UNNEST(list_distinct(list_transform(range(1, len(t) - 2),
+                            i -> array_to_string(t[i:i+3], ' ')))) AS gram
+              FROM toks WHERE len(t) >= 4
+            ), bench AS (
+              SELECT DISTINCT gram FROM grams WHERE doc_id % 50 = 0
+            )
+            SELECT g.doc_id, count(*) AS n_hits
+            FROM grams g JOIN bench b USING (gram)
+            WHERE g.doc_id % 50 <> 0
+            GROUP BY g.doc_id ORDER BY g.doc_id
+        """,
+        "repetition_signals": """
+            WITH toks AS (
+              SELECT doc_id,
+                     list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                                 x -> x <> '') AS t
+              FROM documents
+            ), grams AS (
+              SELECT doc_id, n,
+                     UNNEST(list_transform(range(1, len(t) - n + 2),
+                            i -> array_to_string(t[i:i+n-1], ' '))) AS gram
+              FROM toks, (SELECT UNNEST([2, 3]) AS n) m
+              WHERE len(t) >= n
+            ), per_gram AS (
+              SELECT doc_id, n, gram, count(*) AS c FROM grams GROUP BY ALL
+            ), per_doc_n AS (
+              SELECT doc_id, n, sum(c) AS total,
+                     sum(CASE WHEN c > 1 THEN c ELSE 0 END) AS dup_occ,
+                     max(c) AS top
+              FROM per_gram GROUP BY doc_id, n
+            ), sig AS (
+              SELECT doc_id,
+                max(CASE WHEN n=2 THEN round(dup_occ::DOUBLE/total, 4) END) AS d2,
+                max(CASE WHEN n=3 THEN round(dup_occ::DOUBLE/total, 4) END) AS d3,
+                max(CASE WHEN n=2 THEN round(top::DOUBLE/total, 4) END) AS t2
+              FROM per_doc_n GROUP BY doc_id
+            )
+            SELECT d.doc_id,
+                   coalesce(s.d2, 0.0) AS dup_2gram_frac,
+                   coalesce(s.d3, 0.0) AS dup_3gram_frac,
+                   coalesce(s.t2, 0.0) AS top_2gram_frac
+            FROM documents d LEFT JOIN sig s USING (doc_id)
+            ORDER BY d.doc_id
+        """,
+        "url_dedup": """
+            WITH pages AS (
+              SELECT doc_id,
+                (CASE WHEN doc_id % 3 = 0 THEN 'HTTP://' ELSE 'https://' END)
+                || (CASE WHEN doc_id % 2 = 0 THEN 'www.' ELSE '' END)
+                || 'Src' || (doc_id % 7)::VARCHAR || '.Example.COM'
+                || (CASE WHEN doc_id % 11 = 0 THEN ':443' ELSE '' END)
+                || '/Docs/' || (doc_id % 13)::VARCHAR
+                || (CASE WHEN doc_id % 4 = 0 THEN '/' ELSE '' END)
+                || (CASE WHEN doc_id % 2 = 0
+                         THEN '?p=' || (doc_id % 13)::VARCHAR || '&utm_campaign=x'
+                         WHEN doc_id % 5 = 0 THEN '?utm_source=feed' ELSE '' END)
+                || (CASE WHEN doc_id % 6 = 0 THEN '#frag' ELSE '' END) AS url
+              FROM documents
+            ), stripped AS (
+              SELECT doc_id,
+                regexp_replace(regexp_replace(url, '#.*$', '', 'g'),
+                               '^[a-zA-Z][a-zA-Z0-9+.-]*://', '') AS s
+              FROM pages
+            ), canon AS (
+              SELECT doc_id,
+                regexp_replace(regexp_replace(
+                  lower(regexp_extract(s, '^([^/?]*)', 1)),
+                  '^www\\.', ''), ':(80|443)$', '')
+                ||
+                regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+                  regexp_replace(regexp_replace(regexp_replace(
+                    regexp_replace(s, '^[^/?]*', ''),
+                    '([?&])(utm_[A-Za-z0-9_]*|gclid|fbclid)=[^&#]*&?', '\\1', 'g'),
+                    '([?&])(utm_[A-Za-z0-9_]*|gclid|fbclid)=[^&#]*&?', '\\1', 'g'),
+                    '([?&])(utm_[A-Za-z0-9_]*|gclid|fbclid)=[^&#]*&?', '\\1', 'g'),
+                  '[?&]+$', '', 'g'),
+                  '\\?&', '?', 'g'),
+                  '^(/[^?]*?)/(\\?|$)', '\\1\\2', 'g'),
+                  '^/$', '', 'g') AS url_norm
+              FROM stripped
+            )
+            SELECT url_norm, min(doc_id) AS keep_doc_id, count(*) AS n_dupes
+            FROM canon GROUP BY url_norm ORDER BY url_norm
         """,
     }

@@ -841,6 +841,36 @@ def q_url_dedup(spark, sf):
     )
 
 
+def q_pii_redact(spark, sf):
+    """datapipe/curate.pii_signals + redact_pii: PII detection counts and
+    typed-placeholder redaction (the standard pre-training scrub). PII is
+    injected deterministically from doc_id (emails every 4th doc, phones
+    every 6th, IPv4s every 10th) so both engines see identical bytes; the
+    md5 of the redacted text proves byte-identical scrubbing."""
+    from kgspark.datapipe.curate import pii_signals, redact_pii
+
+    d = F.col("doc_id")
+    s = lambda e: e.cast("string")  # noqa: E731
+    injected = F.concat(
+        F.col("text"),
+        F.when(d % 4 == 0, F.concat(F.lit(" contact user"), s(d),
+                                    F.lit("@mail.example.org now"))).otherwise(F.lit("")),
+        F.when(d % 6 == 0, F.concat(F.lit(" call +1 (555) 010-"),
+                                    F.lpad(s(d % 10000), 4, "0"))).otherwise(F.lit("")),
+        F.when(d % 10 == 0, F.concat(F.lit(" from 10.0."), s(d % 256),
+                                     F.lit(".7"))).otherwise(F.lit("")),
+    )
+    docs = _documents(spark, sf).select("doc_id", injected.alias("t"))
+    sig = pii_signals(F.col("t"))
+    return docs.select(
+        "doc_id",
+        sig["n_email"].alias("n_email"),
+        sig["n_phone"].alias("n_phone"),
+        sig["n_ipv4"].alias("n_ipv4"),
+        F.md5(redact_pii(F.col("t"))).alias("redacted_md5"),
+    ).orderBy("doc_id")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "s8_keyset_pagination": q_s8_keyset_pagination,
@@ -895,6 +925,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "decontaminate": q_decontaminate,
         "repetition_signals": q_repetition_signals,
         "url_dedup": q_url_dedup,
+        "pii_redact": q_pii_redact,
     }
 
 
@@ -1628,5 +1659,35 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT url_norm, min(doc_id) AS keep_doc_id, count(*) AS n_dupes
             FROM canon GROUP BY url_norm ORDER BY url_norm
+        """,
+        "pii_redact": """
+            WITH injected AS (
+              SELECT doc_id,
+                text
+                || (CASE WHEN doc_id % 4 = 0
+                    THEN ' contact user' || doc_id::VARCHAR || '@mail.example.org now'
+                    ELSE '' END)
+                || (CASE WHEN doc_id % 6 = 0
+                    THEN ' call +1 (555) 010-' || lpad((doc_id % 10000)::VARCHAR, 4, '0')
+                    ELSE '' END)
+                || (CASE WHEN doc_id % 10 = 0
+                    THEN ' from 10.0.' || (doc_id % 256)::VARCHAR || '.7'
+                    ELSE '' END) AS t
+              FROM documents
+            )
+            SELECT doc_id,
+              len(regexp_extract_all(t,
+                '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}')) AS n_email,
+              len(regexp_extract_all(t,
+                '(\\+?\\d{1,2}[- ]?)?\\(?\\d{3}\\)?[- ]\\d{3}[- ]\\d{4}')) AS n_phone,
+              len(regexp_extract_all(t,
+                '\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b')) AS n_ipv4,
+              md5(
+                regexp_replace(regexp_replace(regexp_replace(t,
+                  '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+                  '(\\+?\\d{1,2}[- ]?)?\\(?\\d{3}\\)?[- ]\\d{3}[- ]\\d{4}', '<PHONE>', 'g'),
+                  '\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b', '<IPV4>', 'g')
+              ) AS redacted_md5
+            FROM injected ORDER BY doc_id
         """,
     }

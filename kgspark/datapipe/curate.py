@@ -173,6 +173,39 @@ def canonicalize_url(url: Column) -> Column:
     return F.concat(host, rest)
 
 
+# ------------------------------------------------------------ PII scrub
+
+# RE2-compatible (no lookarounds/backrefs) so the DuckDB oracle replays
+# them verbatim; Java regex treats them identically.
+_PII_PATTERNS = {
+    "email": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+    "phone": r"(\+?\d{1,2}[- ]?)?\(?\d{3}\)?[- ]\d{3}[- ]\d{4}",
+    "ipv4": r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b",
+}
+
+
+def pii_signals(text: Column) -> dict[str, Column]:
+    """Per-document PII occurrence counts — {'n_email': Col, 'n_phone':
+    Col, 'n_ipv4': Col}. regexp_extract_all + size (not regexp_count) so
+    the exact same expression replays in DuckDB (len(regexp_extract_all)).
+    Pure codegen'd string ops: embarrassingly parallel, no shuffle."""
+    return {
+        f"n_{k}": F.size(F.regexp_extract_all(text, F.lit(p), 0))
+        for k, p in _PII_PATTERNS.items()
+    }
+
+
+def redact_pii(text: Column) -> Column:
+    """Replace emails / phone numbers / IPv4s with typed placeholders
+    (<EMAIL>, <PHONE>, <IPV4>) — the standard pre-training scrub pass
+    (order matters: emails first so user@host IPv4-lookalikes inside
+    addresses aren't split by the IP pass)."""
+    out = text
+    for k in ("email", "phone", "ipv4"):
+        out = F.regexp_replace(out, _PII_PATTERNS[k], f"<{k.upper()}>")
+    return out
+
+
 def dedup_by_url(pages: DataFrame, url_col: str = "url",
                  order_col: str = "warc_ts") -> DataFrame:
     """Keep one capture per canonical URL (the earliest by ``order_col``;

@@ -11,6 +11,8 @@ from kgspark.datapipe.curate import (
     canonicalize_url,
     decontaminate,
     dedup_by_url,
+    pii_signals,
+    redact_pii,
     repetition_signals,
 )
 
@@ -78,6 +80,36 @@ def test_decontaminate_is_broadcast_join(spark):
                                  "doc_id long, text string")
     plan = decontaminate(docs, docs.limit(2), n=2)._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan  # corpus side must not shuffle for the probe
+
+
+def test_pii_detect_and_redact(spark):
+    docs = spark.createDataFrame(
+        [
+            (1, "mail a.b+c@sub.example.org and d@e.io, server 192.168.0.1 up"),
+            (2, "call +1 (555) 010-1234 or 555 010-9999 today"),
+            (3, "no pii here at all"),
+            (4, "version 1.2.3 is not an ip, nor is 1.2.3.4.5 a clean one"),
+        ],
+        "doc_id long, text string",
+    )
+    sig = pii_signals(F.col("text"))
+    out = {
+        r.doc_id: r
+        for r in docs.select(
+            "doc_id", *[c.alias(k) for k, c in sig.items()],
+            redact_pii(F.col("text")).alias("red"),
+        ).collect()
+    }
+    assert (out[1].n_email, out[1].n_ipv4) == (2, 1)
+    assert out[1].red == "mail <EMAIL> and <EMAIL>, server <IPV4> up"
+    assert out[2].n_phone == 2
+    assert out[2].red == "call <PHONE> or <PHONE> today"
+    assert (out[3].n_email, out[3].n_phone, out[3].n_ipv4) == (0, 0, 0)
+    assert out[3].red == "no pii here at all"
+    # dotted version strings: 1.2.3 has no 4th octet; 1.2.3.4.5 — the
+    # first four octets form a \b-delimited match (documented behavior
+    # of the simple pattern, same in both engines)
+    assert out[4].n_ipv4 == 1
 
 
 def test_repetition_signals_crafted(spark):

@@ -61,6 +61,27 @@ CHECKS = {
         ("LessThan(event_id,9000)", "keyset cursor predicate pushed to the scan"),
         ("TakeOrderedAndProject", "LIMIT+ORDER BY as top-k, no full sort"),
     ],
+    "decontaminate": [
+        ("BroadcastHashJoin", "benchmark gram dictionary broadcast — the "
+                              "corpus side probes map-side, no corpus shuffle"),
+        ("HashAggregate", "hit count is a two-phase agg (map-side partials "
+                          "carry only contaminated rows)"),
+    ],
+    "url_dedup": [
+        # min_by over a struct ordering is a SortAggregate (not hash-able),
+        # but it is still two-phase: partial_min_by runs map-side, so only
+        # one (key, partial) row per canonical URL crosses the exchange.
+        ("partial_min_by", "map-side partial min_by before the single "
+                           "exchange — one combinable shuffle"),
+        ("ReadSchema: struct<doc_id", "column pruning at the documents scan"),
+    ],
+    "pii_redact": [
+        ("regexp_replace", "detect+redact is native Catalyst regexp "
+                           "expressions — JVM-side, embarrassingly parallel"),
+        ("!EvalPython", "no row-at-a-time or Arrow Python UDF in the "
+                        "redact path"),
+        ("ReadSchema: struct<doc_id:bigint,text", "column pruning at the scan"),
+    ],
 }
 
 

@@ -510,6 +510,22 @@ def q_c2_label_propagation(spark, sf):
     return label_propagation(build_projection(edges), max_iter=5)
 
 
+def q_pagerank(spark, sf):
+    """Entity-importance PageRank over the order→part KG projection
+    (kgspark/operators/centrality.py). Fixed-point bigint arithmetic —
+    the iterative sums are exact integers, so Spark and DuckDB agree
+    bit-for-bit (no float-order drift)."""
+    from kgspark.operators.centrality import pagerank
+
+    li = spark.read.parquet(f"{sf}/lineitem.parquet").where(F.col("l_orderkey") <= 200)
+    edges = li.select(
+        F.concat(F.lit("o"), F.col("l_orderkey")).alias("source_node_uuid"),
+        F.concat(F.lit("p"), F.col("l_partkey")).alias("target_node_uuid"),
+    )
+    return (pagerank(edges, n_iter=5, num_partitions=8)
+            .select("node", "rank_fp").orderBy("node"))
+
+
 def q_q6_hybrid(spark, sf):
     """Q6: hybrid fulltext ∪ cosine retrieval fused with RRF
     (search_utils.py:588-659) — doc_id and vec_id are aligned ids."""
@@ -926,6 +942,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "repetition_signals": q_repetition_signals,
         "url_dedup": q_url_dedup,
         "pii_redact": q_pii_redact,
+        "pagerank_centrality": q_pagerank,
     }
 
 
@@ -1017,8 +1034,15 @@ def oracle_sql() -> dict[str, str]:
         LEFT JOIN summaries s USING (uuid)
         ORDER BY name
     """
+    from kgspark.operators.centrality import pagerank_oracle_sql
+    pr_oracle = pagerank_oracle_sql(
+        "SELECT 'o' || l_orderkey AS src, 'p' || l_partkey AS dst "
+        "FROM lineitem WHERE l_orderkey <= 200",
+        n_iter=5,
+    )
     return {
         "c2_label_propagation": c2_oracle,
+        "pagerank_centrality": pr_oracle,
         "e4_attributes": e4_oracle,
         "s8_keyset_pagination": """
             SELECT event_id, user_id, event_type FROM events

@@ -526,6 +526,28 @@ def q_pagerank(spark, sf):
             .select("node", "rank_fp").orderBy("node"))
 
 
+def q_triangle_stats(spark, sf):
+    """Per-node triangle count + degree over the part co-occurrence
+    graph (parts sharing an order — the KG's entity co-mention
+    projection). Degree-ordered wedge enumeration
+    (kgspark/operators/graphstats.py); integer outputs hash exactly."""
+    from kgspark.operators.graphstats import triangle_stats
+
+    li = (spark.read.parquet(f"{sf}/lineitem.parquet")
+          .where(F.col("l_orderkey") <= 100)
+          .select("l_orderkey", "l_partkey"))
+    a, b = li.alias("a"), li.alias("b")
+    co = a.join(
+        b, (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+        & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+    ).select(
+        F.concat(F.lit("p"), F.col("a.l_partkey")).alias("source_node_uuid"),
+        F.concat(F.lit("p"), F.col("b.l_partkey")).alias("target_node_uuid"),
+    )
+    return (triangle_stats(co)
+            .select("node", "degree", "triangles").orderBy("node"))
+
+
 def q_q6_hybrid(spark, sf):
     """Q6: hybrid fulltext ∪ cosine retrieval fused with RRF
     (search_utils.py:588-659) — doc_id and vec_id are aligned ids."""
@@ -943,6 +965,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "url_dedup": q_url_dedup,
         "pii_redact": q_pii_redact,
         "pagerank_centrality": q_pagerank,
+        "triangle_stats": q_triangle_stats,
     }
 
 
@@ -1040,9 +1063,16 @@ def oracle_sql() -> dict[str, str]:
         "FROM lineitem WHERE l_orderkey <= 200",
         n_iter=5,
     )
+    from kgspark.operators.graphstats import triangle_stats_oracle_sql
+    tri_oracle = triangle_stats_oracle_sql(
+        "SELECT 'p' || a.l_partkey AS src, 'p' || b.l_partkey AS dst "
+        "FROM lineitem a JOIN lineitem b ON a.l_orderkey = b.l_orderkey "
+        "AND a.l_partkey < b.l_partkey WHERE a.l_orderkey <= 100"
+    )
     return {
         "c2_label_propagation": c2_oracle,
         "pagerank_centrality": pr_oracle,
+        "triangle_stats": tri_oracle,
         "e4_attributes": e4_oracle,
         "s8_keyset_pagination": """
             SELECT event_id, user_id, event_type FROM events

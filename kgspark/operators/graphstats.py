@@ -1,0 +1,162 @@
+"""Graph-quality statistics over the materialized KG edge table:
+per-node triangle counts, degree, and local clustering coefficient.
+
+Why it's here: a web-scale KG needs structural quality signals —
+clustering coefficient separates genuinely-connected entity
+neighborhoods from hub-spam / extraction-noise stars, and triangle
+support is the standard edge-confidence prior for link validation. The
+reference (markalosey/graphiti) has no analytics layer; these extend
+SURVEY §2.6's community ops the same way PageRank
+(operators/centrality.py) extends mention-count importance.
+
+Scale design (the part that must survive 100 TB): naive triangle
+enumeration self-joins each node's full neighbor list — a single
+10^7-degree hub (every crawl corpus has one) produces 10^14 wedges in
+one task: the "curse of the last reducer" (Suri & Vassilvitskii,
+WWW 2011 — public). The fix implemented here is theirs: orient every
+undirected edge from the (degree, node)-smaller endpoint to the larger,
+then enumerate wedges only between OUT-neighbors. Out-degree in the
+oriented DAG is bounded by O(√E), the wedge total by O(E^1.5)
+regardless of skew, and every triangle is produced exactly once (its
+≺-minimal vertex owns it). Everything is equi-joins + integer counts:
+two shuffles on the wedge key, map-side-combinable final aggregation,
+no UDFs, exact cross-engine hashes.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def simple_undirected(edges: DataFrame,
+                      src: str = "source_node_uuid",
+                      dst: str = "target_node_uuid") -> DataFrame:
+    """Collapse a directed multigraph to simple undirected ``(u, v)``
+    with ``u < v``: self-loops dropped, parallel/reciprocal edges
+    deduped (one groupBy-shaped distinct on the canonical pair)."""
+    return (
+        edges.where(F.col(src) != F.col(dst))
+        .select(F.least(src, dst).alias("u"), F.greatest(src, dst).alias("v"))
+        .distinct()
+    )
+
+
+def degree_oriented(und: DataFrame, deg: DataFrame) -> DataFrame:
+    """Orient each simple edge low → high in the (degree, node) total
+    order → ``(src, dst, dkey)``; ``dkey`` is the dst's order key so the
+    wedge join can compare without re-joining degrees. Out-degree of the
+    result is O(√E) even at a 10^7-degree hub — the Suri-Vassilvitskii
+    bound the skew test asserts."""
+    e = (
+        und.join(deg.select(F.col("node").alias("u"), F.col("degree").alias("du")), "u")
+        .join(deg.select(F.col("node").alias("v"), F.col("degree").alias("dv")), "v")
+    )
+    u_first = (
+        F.struct(F.col("du").alias("d"), F.col("u").alias("n"))
+        < F.struct(F.col("dv").alias("d"), F.col("v").alias("n"))
+    )
+    return e.select(
+        F.when(u_first, F.col("u")).otherwise(F.col("v")).alias("src"),
+        F.when(u_first, F.col("v")).otherwise(F.col("u")).alias("dst"),
+        F.when(u_first, F.struct(F.col("dv").alias("d"), F.col("v").alias("n")))
+         .otherwise(F.struct(F.col("du").alias("d"), F.col("u").alias("n"))).alias("dkey"),
+    )
+
+
+def triangle_stats(edges: DataFrame,
+                   src: str = "source_node_uuid",
+                   dst: str = "target_node_uuid") -> DataFrame:
+    """→ ``(node, degree, triangles, clustering)`` for every non-isolated
+    node of the simple undirected graph.
+
+    ``degree`` and ``triangles`` are exact integers (the oracle hashes
+    those); ``clustering`` = 2·T / (deg·(deg−1)), null for deg < 2.
+    """
+    und = simple_undirected(edges, src, dst).persist()
+    deg = (
+        und.select(F.col("u").alias("node"))
+        .unionByName(und.select(F.col("v").alias("node")))
+        .groupBy("node")
+        .agg(F.count("*").alias("degree"))
+    )
+    o = degree_oriented(und, deg).persist()
+
+    # wedges between out-neighbors (b ≺ c), closed by the oriented edge
+    # b→c — each triangle materializes exactly once, at its ≺-min vertex
+    x, y, z = o.alias("x"), o.alias("y"), o.alias("z")
+    tri = (
+        x.join(y, (F.col("x.src") == F.col("y.src"))
+               & (F.col("x.dkey") < F.col("y.dkey")))
+        .select(F.col("x.src").alias("a"), F.col("x.dst").alias("b"),
+                F.col("y.dst").alias("c"))
+        .join(z, (F.col("b") == F.col("z.src")) & (F.col("c") == F.col("z.dst")))
+        .select("a", "b", "c")
+    )
+    per_node = (
+        tri.select(F.col("a").alias("node"))
+        .unionByName(tri.select(F.col("b").alias("node")))
+        .unionByName(tri.select(F.col("c").alias("node")))
+        .groupBy("node")
+        .agg(F.count("*").alias("triangles"))
+    )
+    out = (
+        deg.join(per_node, "node", "left")
+        .select(
+            "node", "degree",
+            F.coalesce("triangles", F.lit(0)).cast("long").alias("triangles"),
+            F.when(
+                F.col("degree") >= 2,
+                2.0 * F.coalesce("triangles", F.lit(0))
+                / (F.col("degree") * (F.col("degree") - 1)),
+            ).alias("clustering"),
+        )
+    )
+    und.unpersist()
+    return out
+
+
+def triangle_stats_oracle_sql(edges_sql: str) -> str:
+    """ANSI-SQL replay for DuckDB: same orientation, same wedge rule.
+    Integer columns only — (node, degree, triangles) — so the value
+    hash is exact. ``edges_sql`` must yield (src, dst)."""
+    return f"""
+        WITH e0 AS ({edges_sql}),
+        und AS (
+          SELECT DISTINCT least(src, dst) AS u, greatest(src, dst) AS v
+          FROM e0 WHERE src <> dst
+        ),
+        deg AS (
+          SELECT node, COUNT(*) AS degree FROM (
+            SELECT u AS node FROM und UNION ALL SELECT v FROM und
+          ) GROUP BY node
+        ),
+        o AS (
+          SELECT CASE WHEN (du.degree, und.u) < (dv.degree, und.v)
+                      THEN und.u ELSE und.v END AS src,
+                 CASE WHEN (du.degree, und.u) < (dv.degree, und.v)
+                      THEN und.v ELSE und.u END AS dst,
+                 CASE WHEN (du.degree, und.u) < (dv.degree, und.v)
+                      THEN dv.degree ELSE du.degree END AS dd
+          FROM und
+          JOIN deg du ON du.node = und.u
+          JOIN deg dv ON dv.node = und.v
+        ),
+        tri AS (
+          SELECT x.src AS a, x.dst AS b, y.dst AS c
+          FROM o x
+          JOIN o y ON x.src = y.src AND (x.dd, x.dst) < (y.dd, y.dst)
+          JOIN o z ON z.src = x.dst AND z.dst = y.dst
+        ),
+        per_node AS (
+          SELECT node, COUNT(*) AS triangles FROM (
+            SELECT a AS node FROM tri
+            UNION ALL SELECT b FROM tri
+            UNION ALL SELECT c FROM tri
+          ) GROUP BY node
+        )
+        SELECT deg.node, deg.degree,
+               CAST(COALESCE(per_node.triangles, 0) AS BIGINT) AS triangles
+        FROM deg LEFT JOIN per_node ON per_node.node = deg.node
+        ORDER BY deg.node
+    """

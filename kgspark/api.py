@@ -358,6 +358,23 @@ class KGSpark:
         self._invalidate_postings()
         return {"communities": communities.count(), "members": members.count()}
 
+    # ------------------------------------------------------------ analytics
+    def pagerank(self, n_iter: int = 10, damping: float = 0.85) -> DataFrame:
+        """Link-structure entity importance over the materialized edge
+        table → (node, rank_fp, rank). Fixed-point by default: results
+        are partition-invariant exact integers (operators/centrality.py)."""
+        from kgspark.operators.centrality import pagerank
+
+        return pagerank(self.graph()["edges"], damping=damping, n_iter=n_iter)
+
+    def graph_stats(self) -> DataFrame:
+        """Per-entity degree / triangle count / clustering coefficient —
+        structural quality signals (operators/graphstats.py; degree-
+        ordered wedge join, hub-skew safe)."""
+        from kgspark.operators.graphstats import triangle_stats
+
+        return triangle_stats(self.graph()["edges"])
+
     def _refresh_postings_if_maintained(self, groups: DataFrame) -> None:
         """Re-splice the given groups' postings after a mutation outside
         the ingest path (community rebuilds, cascades). No-op when the

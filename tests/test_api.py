@@ -93,6 +93,21 @@ def test_communities_and_by_episode(kg):
     assert edges.count() >= 1
 
 
+def test_analytics_surface(kg):
+    """pagerank() / graph_stats() run off the materialized edge table;
+    entities referenced by facts outrank isolated-ish ones, and the
+    stats cover every edge endpoint."""
+    pr = {r["node"]: r["rank_fp"] for r in kg.pagerank(n_iter=5).collect()}
+    assert pr and all(v > 0 for v in pr.values())
+    g = kg.graph()
+    endpoints = {r[0] for r in g["edges"]
+                 .select("source_node_uuid").collect()} | \
+                {r[0] for r in g["edges"].select("target_node_uuid").collect()}
+    stats = {r["node"]: r["degree"] for r in kg.graph_stats().collect()}
+    assert endpoints <= set(stats) and set(pr) == endpoints
+    assert all(d >= 1 for d in stats.values())
+
+
 def test_edge_type_map_constrains_predicates(kg):
     """D12: (src_label, tgt_label) -> allowed predicate list."""
     from kgspark.operators.dedup import apply_edge_type_map

@@ -548,6 +548,27 @@ def q_triangle_stats(spark, sf):
             .select("node", "degree", "triangles").orderBy("node"))
 
 
+def q_chunk_documents(spark, sf):
+    """Training-data chunking: overlapping token windows (window 32,
+    stride 24) over documents — pure codegen SQL, no shuffle
+    (kgspark/datapipe/pack.py)."""
+    from kgspark.datapipe.pack import chunk_documents
+
+    docs = spark.read.parquet(f"{sf}/documents.parquet")
+    return (chunk_documents(docs, window=32, stride=24)
+            .orderBy("doc_id", "chunk_id"))
+
+
+def q_pack_sequences(spark, sf):
+    """Training-data sequence packing: greedy first-fit of whole docs
+    into 256-token bins, hash-sharded 8 ways, packed per-shard inside
+    one applyInPandas group (kgspark/datapipe/pack.py)."""
+    from kgspark.datapipe.pack import pack_sequences
+
+    docs = spark.read.parquet(f"{sf}/documents.parquet")
+    return pack_sequences(docs, budget=256, n_shards=8).orderBy("doc_id")
+
+
 def q_q6_hybrid(spark, sf):
     """Q6: hybrid fulltext ∪ cosine retrieval fused with RRF
     (search_utils.py:588-659) — doc_id and vec_id are aligned ids."""
@@ -966,6 +987,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pii_redact": q_pii_redact,
         "pagerank_centrality": q_pagerank,
         "triangle_stats": q_triangle_stats,
+        "chunk_documents": q_chunk_documents,
+        "pack_sequences": q_pack_sequences,
     }
 
 
@@ -1063,6 +1086,9 @@ def oracle_sql() -> dict[str, str]:
         "FROM lineitem WHERE l_orderkey <= 200",
         n_iter=5,
     )
+    from kgspark.datapipe.pack import pack_sequences_oracle_sql
+    pack_oracle = pack_sequences_oracle_sql(
+        "SELECT doc_id, text FROM documents", budget=256, n_shards=8)
     from kgspark.operators.graphstats import triangle_stats_oracle_sql
     tri_oracle = triangle_stats_oracle_sql(
         "SELECT 'p' || a.l_partkey AS src, 'p' || b.l_partkey AS dst "
@@ -1073,6 +1099,31 @@ def oracle_sql() -> dict[str, str]:
         "c2_label_propagation": c2_oracle,
         "pagerank_centrality": pr_oracle,
         "triangle_stats": tri_oracle,
+        "chunk_documents": """
+            WITH toks AS (
+              SELECT doc_id,
+                     list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                                 x -> x <> '') AS t
+              FROM documents
+            ), sized AS (
+              SELECT doc_id, t, len(t) AS n FROM toks WHERE len(t) > 0
+            ), starts AS (
+              SELECT doc_id, t, n, gs.start_tok,
+                     CAST(gs.start_tok / 24 AS BIGINT) AS chunk_id
+              FROM sized, LATERAL (
+                SELECT UNNEST(generate_series(0, n - 1, 24)) AS start_tok
+              ) gs
+            )
+            SELECT doc_id, chunk_id, CAST(start_tok AS BIGINT) AS start_tok,
+                   CAST(len(list_slice(t, start_tok + 1,
+                                       least(start_tok + 32, n))) AS BIGINT)
+                       AS n_tokens,
+                   array_to_string(list_slice(t, start_tok + 1,
+                                              least(start_tok + 32, n)), ' ')
+                       AS chunk_text
+            FROM starts ORDER BY doc_id, chunk_id
+        """,
+        "pack_sequences": pack_oracle,
         "e4_attributes": e4_oracle,
         "s8_keyset_pagination": """
             SELECT event_id, user_id, event_type FROM events

@@ -111,7 +111,13 @@ def triangle_stats(edges: DataFrame,
                 / (F.col("degree") * (F.col("degree") - 1)),
             ).alias("clustering"),
         )
+        # materialize before releasing the caches: `o` is scanned three
+        # times in the wedge+closure DAG, and the result must not hold a
+        # reference to unpersisted relations (same pattern as C2 label
+        # propagation; see PLANS.md on the localCheckpoint trade-off)
+        .localCheckpoint()
     )
+    o.unpersist()
     und.unpersist()
     return out
 

@@ -75,6 +75,21 @@ CHECKS = {
                            "exchange — one combinable shuffle"),
         ("ReadSchema: struct<doc_id", "column pruning at the documents scan"),
     ],
+    "chunk_documents": [
+        ("Generate", "window-start explode is a codegen Generate — one "
+                     "narrow pass, no shuffle in the chunk path"),
+        ("!EvalPython", "tokenize/slice/concat are native Catalyst "
+                        "expressions — no Python in the hot path"),
+        ("ReadSchema: struct<doc_id:bigint,text", "column pruning at the "
+                                                  "documents scan"),
+    ],
+    "pack_sequences": [
+        ("FlatMapGroupsInPandas", "per-shard Arrow packing UDF — the only "
+                                  "non-codegen stage, over two-int rows"),
+        ("ReadSchema: struct<doc_id:bigint,text", "packer input is slim "
+                                                  "(id, token count): column "
+                                                  "pruning at the scan"),
+    ],
     "pii_redact": [
         ("regexp_replace", "detect+redact is native Catalyst regexp "
                            "expressions — JVM-side, embarrassingly parallel"),

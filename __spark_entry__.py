@@ -569,6 +569,21 @@ def q_pack_sequences(spark, sf):
     return pack_sequences(docs, budget=256, n_shards=8).orderBy("doc_id")
 
 
+def q_stratified_sample(spark, sf):
+    """Training-mix construction: deterministic hash-stratified sampling
+    with fractional upsampling (en halved, zh repeated 2.3x, others 25%)
+    — kgspark/datapipe/sample.py; md5-uniform, retry-stable, no rand()."""
+    from kgspark.datapipe.sample import stratified_sample
+
+    docs = spark.read.parquet(f"{sf}/documents.parquet")
+    return (
+        stratified_sample(docs, {"en": 0.5, "de": 1.0, "zh": 2.3},
+                          default_weight=0.25)
+        .select("doc_id", "lang", "copy")
+        .orderBy("doc_id", "copy")
+    )
+
+
 def q_q6_hybrid(spark, sf):
     """Q6: hybrid fulltext ∪ cosine retrieval fused with RRF
     (search_utils.py:588-659) — doc_id and vec_id are aligned ids."""
@@ -989,6 +1004,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "triangle_stats": q_triangle_stats,
         "chunk_documents": q_chunk_documents,
         "pack_sequences": q_pack_sequences,
+        "stratified_sample": q_stratified_sample,
     }
 
 
@@ -1089,6 +1105,11 @@ def oracle_sql() -> dict[str, str]:
     from kgspark.datapipe.pack import pack_sequences_oracle_sql
     pack_oracle = pack_sequences_oracle_sql(
         "SELECT doc_id, text FROM documents", budget=256, n_shards=8)
+    from kgspark.datapipe.sample import stratified_sample_oracle_sql
+    mix_oracle = (stratified_sample_oracle_sql(
+        "SELECT doc_id, lang FROM documents",
+        {"en": 0.5, "de": 1.0, "zh": 2.3}, default_weight=0.25)
+        + " ORDER BY doc_id, copy")
     from kgspark.operators.graphstats import triangle_stats_oracle_sql
     tri_oracle = triangle_stats_oracle_sql(
         "SELECT 'p' || a.l_partkey AS src, 'p' || b.l_partkey AS dst "
@@ -1124,6 +1145,7 @@ def oracle_sql() -> dict[str, str]:
             FROM starts ORDER BY doc_id, chunk_id
         """,
         "pack_sequences": pack_oracle,
+        "stratified_sample": mix_oracle,
         "e4_attributes": e4_oracle,
         "s8_keyset_pagination": """
             SELECT event_id, user_id, event_type FROM events

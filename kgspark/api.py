@@ -365,7 +365,7 @@ class KGSpark:
         are partition-invariant exact integers (operators/centrality.py)."""
         from kgspark.operators.centrality import pagerank
 
-        return pagerank(self.graph()["edges"], damping=damping, n_iter=n_iter)
+        return pagerank(self._edges_or_raise(), damping=damping, n_iter=n_iter)
 
     def graph_stats(self) -> DataFrame:
         """Per-entity degree / triangle count / clustering coefficient —
@@ -373,7 +373,14 @@ class KGSpark:
         ordered wedge join, hub-skew safe)."""
         from kgspark.operators.graphstats import triangle_stats
 
-        return triangle_stats(self.graph()["edges"])
+        return triangle_stats(self._edges_or_raise())
+
+    def _edges_or_raise(self) -> DataFrame:
+        g = self.graph()
+        if "edges" not in g:
+            raise ValueError("no edges table in this store yet — ingest "
+                             "episodes before running graph analytics")
+        return g["edges"]
 
     def _refresh_postings_if_maintained(self, groups: DataFrame) -> None:
         """Re-splice the given groups' postings after a mutation outside

@@ -95,7 +95,9 @@ def pack_sequences(
 
     slim = docs.select(
         F.col(id_col).alias("doc_id"),
-        (F.col(id_col) % n_shards).cast("int").alias("shard"),
+        # pmod keeps shards in [0, n_shards) for negative ids too — the
+        # range the shard-sizing model and partitioned writes assume
+        F.pmod(F.col(id_col), F.lit(n_shards)).cast("int").alias("shard"),
         F.size(tokenize(F.col(text_col))).cast("long").alias("n_tokens"),
     )
     return slim.groupBy("shard").applyInPandas(
@@ -111,12 +113,15 @@ def pack_sequences_oracle_sql(
     yield (doc_id, text)."""
     return f"""
         WITH RECURSIVE t AS (
-          SELECT doc_id, CAST(doc_id % {n_shards} AS INT) AS shard,
+          SELECT doc_id,
+                 CAST(((doc_id % {n_shards}) + {n_shards}) % {n_shards}
+                      AS INT) AS shard,
                  CAST(len(list_filter(
                      string_split_regex(lower(text), '[^a-z0-9]+'),
                      x -> x <> '')) AS BIGINT) AS n_tokens,
-                 row_number() OVER (PARTITION BY doc_id % {n_shards}
-                                    ORDER BY doc_id) AS rn
+                 row_number() OVER (
+                     PARTITION BY ((doc_id % {n_shards}) + {n_shards}) % {n_shards}
+                     ORDER BY doc_id) AS rn
           FROM ({docs_sql})
         ),
         packed AS (

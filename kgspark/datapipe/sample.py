@@ -57,10 +57,14 @@ def stratified_sample(
     for k in sorted(weights):  # deterministic CASE order
         w_micro = F.when(F.col(strata_col) == k,
                          int(round(weights[k] * RESOLUTION))).otherwise(w_micro)
-    n_copies = (
-        (w_micro / RESOLUTION).cast("long")
-        + (_u_micro(F.col(id_col), salt) < w_micro % RESOLUTION).cast("long")
+    # NULL ids can't hash: they keep their floor(w) copies but never win
+    # the fractional extra — the same NULL-comparison outcome the SQL
+    # oracle's CASE produces, so parity holds row-for-row
+    extra = F.coalesce(
+        (_u_micro(F.col(id_col), salt) < w_micro % RESOLUTION).cast("long"),
+        F.lit(0),
     )
+    n_copies = (w_micro / RESOLUTION).cast("long") + extra
     return (
         docs.withColumn("_n", n_copies)
         .where(F.col("_n") > 0)
@@ -81,15 +85,19 @@ def stratified_sample_oracle_sql(
 ) -> str:
     """DuckDB replay: same md5-60bit uniform, same CASE, same
     floor+fractional copy rule (generate_series instead of explode)."""
-    case = " ".join(
-        f"WHEN {strata_col} = '{k}' THEN {int(round(weights[k] * RESOLUTION))}"
-        for k in sorted(weights)
-    )
+    default_micro = int(round(default_weight * RESOLUTION))
+    if weights:
+        case = " ".join(
+            f"WHEN {strata_col} = '{k}' THEN {int(round(weights[k] * RESOLUTION))}"
+            for k in sorted(weights)
+        )
+        w_expr = f"CASE {case} ELSE {default_micro} END"
+    else:
+        w_expr = str(default_micro)
     return f"""
         WITH w AS (
           SELECT *,
-                 CASE {case} ELSE {int(round(default_weight * RESOLUTION))} END
-                     AS w_micro,
+                 {w_expr} AS w_micro,
                  CAST(('0x' || substr(md5('{salt}:' || CAST({id_col} AS VARCHAR)), 1, 15))::BIGINT
                       % {RESOLUTION} AS BIGINT) AS u
           FROM ({docs_sql})

@@ -83,50 +83,42 @@ def pagerank(
         .localCheckpoint()
     )
 
+    # one iteration skeleton, two arithmetic modes
     if scale is not None:
         base = int(round((1 - damping) * scale))
-        ranks = nodes.withColumn("rank_fp", F.lit(int(scale)).cast("long"))
-        for _ in range(n_iter):
-            contribs = (
-                e.join(ranks.withColumnRenamed("node", "src"), "src")
-                .select("dst", F.expr("rank_fp div out_deg").alias("c"))
-                .groupBy("dst")
-                .agg(F.sum("c").alias("s"))
-            )
-            ranks = (
-                nodes.join(contribs, nodes["node"] == contribs["dst"], "left")
-                .select(
-                    "node",
-                    (F.lit(base)
-                     + F.expr(f"({d_num} * coalesce(s, 0L)) div {d_den}")
-                     ).cast("long").alias("rank_fp"),
-                )
-                .localCheckpoint()
-            )
+        rank_col = "rank_fp"
+        init = F.lit(int(scale)).cast("long")
+        contrib = F.expr("rank_fp div out_deg")
+        update = (F.lit(base)
+                  + F.expr(f"({d_num} * coalesce(s, 0L)) div {d_den}")
+                  ).cast("long")
+    else:
+        rank_col = "rank"
+        init = F.lit(1.0)
+        contrib = F.col("rank") / F.col("out_deg")
+        update = F.round(
+            F.lit(1 - damping) + F.lit(damping) * F.coalesce("s", F.lit(0.0)), 12)
+
+    ranks = nodes.withColumn(rank_col, init)
+    for _ in range(n_iter):
+        contribs = (
+            e.join(ranks.withColumnRenamed("node", "src"), "src")
+            .select("dst", contrib.alias("c"))
+            .groupBy("dst")
+            .agg(F.sum("c").alias("s"))
+        )
+        ranks = (
+            nodes.join(contribs, nodes["node"] == contribs["dst"], "left")
+            .select("node", update.alias(rank_col))
+            .localCheckpoint()
+        )
+
+    if scale is not None:
         out = ranks.select(
             "node", "rank_fp",
             (F.col("rank_fp") / F.lit(float(scale))).alias("rank"),
         )
     else:
-        ranks = nodes.withColumn("rank", F.lit(1.0))
-        for _ in range(n_iter):
-            contribs = (
-                e.join(ranks.withColumnRenamed("node", "src"), "src")
-                .select("dst", (F.col("rank") / F.col("out_deg")).alias("c"))
-                .groupBy("dst")
-                .agg(F.sum("c").alias("s"))
-            )
-            ranks = (
-                nodes.join(contribs, nodes["node"] == contribs["dst"], "left")
-                .select(
-                    "node",
-                    F.round(
-                        F.lit(1 - damping) + F.lit(damping) * F.coalesce("s", F.lit(0.0)),
-                        12,
-                    ).alias("rank"),
-                )
-                .localCheckpoint()
-            )
         out = ranks.select("node", F.lit(None).cast("long").alias("rank_fp"), "rank")
 
     e.unpersist()

@@ -108,6 +108,14 @@ def test_analytics_surface(kg):
     assert all(d >= 1 for d in stats.values())
 
 
+def test_analytics_on_empty_store_raises_clearly(spark, tmp_path):
+    empty = KGSpark(spark, str(tmp_path / "empty_store"))
+    with pytest.raises(ValueError, match="no edges table"):
+        empty.pagerank()
+    with pytest.raises(ValueError, match="no edges table"):
+        empty.graph_stats()
+
+
 def test_edge_type_map_constrains_predicates(kg):
     """D12: (src_label, tgt_label) -> allowed predicate list."""
     from kgspark.operators.dedup import apply_edge_type_map

@@ -87,6 +87,23 @@ def test_pack_shards_are_independent(spark):
         assert sum(toks) <= 8 or len(toks) == 1
 
 
+def test_pack_negative_ids_shard_in_range_and_match_oracle(spark):
+    import duckdb
+
+    rows = [(i, "tok " * 5) for i in (-7, -3, -1, 2, 6)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = pack_sequences(df, budget=8, n_shards=4).collect()
+    assert all(0 <= r["shard"] < 4 for r in out)
+    con = duckdb.connect()
+    con.execute("CREATE TABLE docs (doc_id BIGINT, text VARCHAR)")
+    con.executemany("INSERT INTO docs VALUES (?, ?)", rows)
+    sql = pack_sequences_oracle_sql("SELECT doc_id, text FROM docs",
+                                    budget=8, n_shards=4)
+    want = {r[0]: (r[1], r[2]) for r in con.execute(sql).fetchall()}
+    got = {r["doc_id"]: (r["shard"], r["seq_bin"]) for r in out}
+    assert {d: (int(s), int(b)) for d, (s, b) in want.items()} == got
+
+
 def test_pack_oracle_matches_spark_in_duckdb(spark):
     import duckdb
 

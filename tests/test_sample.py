@@ -74,6 +74,41 @@ def test_oracle_matches_spark_in_duckdb(spark):
     assert want == got
 
 
+def test_null_id_keeps_floor_copies_and_matches_oracle(spark):
+    import duckdb
+
+    rows = [(None, "de"), (1, "de"), (2, "en")]
+    df = spark.createDataFrame(rows, "doc_id long, lang string")
+    weights = {"de": 1.5, "en": 0.5}
+    got = sorted(
+        ((r["doc_id"], r["lang"], r["copy"])
+         for r in stratified_sample(df, weights).collect()),
+        key=str)
+    # the NULL-id row can't hash: it keeps floor(1.5) = 1 copy, never
+    # the fractional extra
+    assert (None, "de", 0) in got and (None, "de", 1) not in got
+    con = duckdb.connect()
+    con.execute("CREATE TABLE docs (doc_id BIGINT, lang VARCHAR)")
+    con.executemany("INSERT INTO docs VALUES (?, ?)", rows)
+    want = sorted(
+        ((r[0], r[1], int(r[2])) for r in con.execute(
+            stratified_sample_oracle_sql("SELECT doc_id, lang FROM docs",
+                                         weights)).fetchall()),
+        key=str)
+    assert want == got
+
+
+def test_empty_weights_oracle_sql_is_valid(spark):
+    import duckdb
+
+    con = duckdb.connect()
+    con.execute("CREATE TABLE docs (doc_id BIGINT, lang VARCHAR)")
+    con.executemany("INSERT INTO docs VALUES (?, ?)", ROWS[:10])
+    sql = stratified_sample_oracle_sql("SELECT doc_id, lang FROM docs",
+                                       {}, default_weight=1.0)
+    assert len(con.execute(sql).fetchall()) == 10
+
+
 def test_resolution_quantization():
     assert RESOLUTION == 1_000_000  # weights quantized at 1e-6 — the
     # documented contract for oracle-exact CASE thresholds

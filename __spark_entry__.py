@@ -692,7 +692,7 @@ def q_d4_alias_chain(spark, sf):
         F.col("event_id").alias("id_a"),
         (F.col("event_id") - 1).alias("id_b"),
     )
-    return connected_components(pairs, rounds=8).select(
+    return connected_components(pairs).select(
         F.col("id").cast("long").alias("id"),
         F.col("comp").cast("long").alias("comp"),
     )

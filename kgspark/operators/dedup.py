@@ -162,16 +162,26 @@ def _union_find(rows) -> dict:
 
 
 def connected_components(
-    pairs: DataFrame, rounds: int = 4, driver_threshold: int = 1_000_000
+    pairs: DataFrame, max_rounds: int = 64, driver_threshold: int = 1_000_000,
+    rounds: int | None = None,
 ) -> DataFrame:
     """Min-label propagation + pointer jumping over the undirected
     alias-pair graph → (id, comp) — subsumes D4 transitive uuid-map
     compression (bulk_utils.py:387-396): chains a→b→c converge to one
     component. Each round does (1) adopt the min label among neighbors
-    and (2) jump: label ← label(label), doubling effective reach, so
-    `rounds` fixed rounds cover components of diameter ~2^rounds (alias
-    clusters are tiny — 16 is far beyond any real chain) with no
-    per-round convergence-count jobs. localCheckpoint truncates lineage.
+    and (2) jump: label ← label(label), then checks a slim
+    changed-any-label probe (limit(1).count() over the label frame —
+    the same convergence test as C2 label propagation) and stops at a
+    fixpoint. The jump step usually collapses chains in O(log d)
+    rounds, but it is NOT a guaranteed doubling: on adversarial id
+    orderings the adopted label is already a root and the jump is a
+    no-op, so a diameter-d path can genuinely need d rounds (hypothesis
+    found a diameter-7 example that a fixed 6 rounds mislabeled —
+    test_property pins it). Hence convergence-checked with
+    ``max_rounds`` as a safety valve, not a fixed round count;
+    ``rounds``, if given, overrides max_rounds (legacy alias). Raises
+    if the cap is hit before convergence rather than returning a
+    silently-wrong labeling. localCheckpoint truncates lineage.
 
     Small-graph fast path: below ``driver_threshold`` edges the pair
     list fits trivially in driver memory and a union-find beats ~30
@@ -221,25 +231,38 @@ def connected_components(
         .distinct()
         .withColumn("comp", F.col("id"))
     )
-    for i in range(rounds):
+    labels = labels.localCheckpoint()
+    cap = rounds if rounds is not None else max_rounds
+    converged = False
+    for _ in range(cap):
         nbr_min = (
             edges.join(labels, edges.dst == labels.id)
             .groupBy("src")
             .agg(F.min("comp").alias("nbr_comp"))
         )
-        labels = labels.join(nbr_min, labels.id == nbr_min.src, "left").select(
+        new_labels = labels.join(nbr_min, labels.id == nbr_min.src, "left").select(
             "id",
             F.least(F.col("comp"), F.coalesce(F.col("nbr_comp"), F.col("comp"))).alias("comp"),
         )
         # pointer jump: comp ← comp(comp)
-        jump = labels.select(F.col("id").alias("jid"), F.col("comp").alias("jcomp"))
-        labels = labels.join(jump, labels.comp == jump.jid, "left").select(
+        jump = new_labels.select(F.col("id").alias("jid"), F.col("comp").alias("jcomp"))
+        new_labels = new_labels.join(jump, new_labels.comp == jump.jid, "left").select(
             "id", F.coalesce("jcomp", "comp").alias("comp")
+        ).localCheckpoint()
+        changed = (
+            new_labels.alias("n").join(labels.alias("o"), "id")
+            .where(F.col("n.comp") != F.col("o.comp"))
+            .limit(1).count()
         )
-        if i % 2 == 1:
-            labels = labels.localCheckpoint()
-    labels = labels.localCheckpoint()
+        labels = new_labels
+        if changed == 0:
+            converged = True
+            break
     edges.unpersist()
+    if not converged:
+        raise RuntimeError(
+            f"connected_components did not converge within {cap} rounds — "
+            "raise max_rounds (a component's diameter exceeds the cap)")
     return labels
 
 

@@ -102,7 +102,7 @@ def test_distributed_cc_and_uuid_map_match_driver_paths(spark):
             connected_components(df, driver_threshold=10**6).collect()}
     # rounds=6 → covers diameter ~2^6, enough for the 40-hop chains
     dist = {r["id"]: r["comp"] for r in
-            connected_components(df, rounds=6, driver_threshold=0).collect()}
+            connected_components(df, driver_threshold=0).collect()}
     assert dist == fast
     # chains really collapse to one component each
     assert len({v for k, v in fast.items() if k.startswith("ch1")}) == 1

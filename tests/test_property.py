@@ -115,8 +115,28 @@ def test_connected_components_matches_union_find(spark, path, pairs):
     df = spark.createDataFrame(pd.DataFrame(pairs, columns=["id_a", "id_b"]))
     threshold = 0 if path == "distributed" else 1_000_000
     got = {r["id"]: r["comp"] for r in
-           connected_components(df, rounds=6, driver_threshold=threshold).collect()}
+           connected_components(df, driver_threshold=threshold).collect()}
     assert got == want
+
+
+@pytest.mark.parametrize("path", ["driver", "distributed"])
+def test_connected_components_deep_chain_regression(spark, path):
+    """Hypothesis-found diameter-7 path where the pointer jump is a
+    no-op every round (the adopted label is already a root), so a fixed
+    6-round schedule mislabeled node 1. The convergence-checked loop
+    must label the whole chain comp=0."""
+    from kgspark.operators.dedup import connected_components
+
+    pairs = [(10, 3), (7, 10), (5, 15), (1, 5), (3, 15), (14, 0), (7, 14)]
+    df = spark.createDataFrame(pd.DataFrame(pairs, columns=["id_a", "id_b"]))
+    threshold = 0 if path == "distributed" else 1_000_000
+    got = {r["id"]: r["comp"] for r in
+           connected_components(df, driver_threshold=threshold).collect()}
+    assert got == {n: 0 for n in {0, 1, 3, 5, 7, 10, 14, 15}}
+    if path == "distributed":
+        # a cap below the needed rounds must raise, never mislabel
+        with pytest.raises(RuntimeError, match="did not converge"):
+            connected_components(df, max_rounds=2, driver_threshold=0).collect()
 
 
 @settings(**SETTINGS)

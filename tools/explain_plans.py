@@ -90,6 +90,14 @@ CHECKS = {
                                                   "(id, token count): column "
                                                   "pruning at the scan"),
     ],
+    "stratified_sample": [
+        ("!EvalPython", "md5-uniform + CASE + explode are native Catalyst "
+                        "— no Python in the mix path"),
+        ("ReadSchema: struct<doc_id:bigint,lang", "the sampling decision "
+                                                  "reads only (id, stratum) "
+                                                  "— the text column never "
+                                                  "leaves the scan"),
+    ],
     "pii_redact": [
         ("regexp_replace", "detect+redact is native Catalyst regexp "
                            "expressions — JVM-side, embarrassingly parallel"),

@@ -33,10 +33,12 @@ PIPE_DOCS = int(os.environ.get("SPARK_GRAFT_PIPE_DOCS", str(max(200, int(200_000
 # shares its kernel/FS with co-tenants (±40% wall noise documented in
 # BASELINE.md), so single-shot numbers are not comparable across rounds.
 REPEATS = max(1, int(os.environ.get("SPARK_GRAFT_REPEATS", "3")))
-# the pipeline leg is ~50× costlier than a query; the scaling harness
-# (which repeats at its own level) sets this to 1
+# the pipeline leg is the headline metric AND the noisiest one (round-3
+# raw runs spanned 9.1-19.8 s within one session) — n=5 by default so
+# the median is trustworthy; the scaling harness (which repeats at its
+# own level) sets this to 1
 PIPE_REPEATS = max(1, int(os.environ.get("SPARK_GRAFT_PIPE_REPEATS",
-                                         str(REPEATS))))
+                                         str(max(REPEATS, 5)))))
 
 BENCH_QUERIES = [
     "q3_bm25", "q4_cosine_topk", "q7_rrf", "t2_invalidation",
@@ -154,6 +156,9 @@ def main() -> None:
         "unit": "sec",
         "queries": timings,
         "runs": runs,  # raw per-repeat values behind each median
+        # headline spread, quoted wherever the median is quoted: a noisy
+        # co-tenant run is visible as [min, max], not hidden in a median
+        "spread": {k: [min(v), max(v)] for k, v in runs.items()},
         "repeats": {"queries": REPEATS, "pipeline": PIPE_REPEATS},
         "sf": _SF,
         "pipeline": {

@@ -376,11 +376,12 @@ class KGSpark:
         return triangle_stats(self._edges_or_raise())
 
     def _edges_or_raise(self) -> DataFrame:
-        g = self.graph()
-        if "edges" not in g:
+        # read ONLY the edges table — self.graph() would scan every store
+        # table (episodes, nodes, communities, …) just to hand back one
+        if not self.store.exists("edges"):
             raise ValueError("no edges table in this store yet — ingest "
                              "episodes before running graph analytics")
-        return g["edges"]
+        return self.store.read(self.spark, "edges")
 
     def _refresh_postings_if_maintained(self, groups: DataFrame) -> None:
         """Re-splice the given groups' postings after a mutation outside

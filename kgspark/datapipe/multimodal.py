@@ -4,13 +4,15 @@ frame-sample as Arrow-batched `mapInPandas` stages.
 
 Decode support is format-sniffed from magic bytes:
 - REAL decoders (no external codec libs needed): WAV (stdlib ``wave``),
-  PPM/PGM P6/P5 and uncompressed 24-bit BMP (pure numpy) — these run
-  end-to-end on real bytes in tests.
-- Codec formats (JPEG/PNG/MP3/...) have no decoder in this container
-  (no PIL/cv2/ffmpeg): with ``FAKE_DECODE`` a deterministic fake
-  (seeded from the content hash) keeps the Spark plumbing testable;
-  without it they raise ``NotImplementedError`` at the documented plug
-  point (`_decode_image_bytes` / `_decode_audio_bytes`).
+  PNG (stdlib ``zlib`` inflate + numpy unfiltering), GIF (pure-Python
+  LZW + numpy palette), PPM/PGM P6/P5 and uncompressed 24-bit BMP
+  (pure numpy) — these run end-to-end on real bytes in tests.
+- The remaining codec formats (JPEG/MP3/...) have no decoder in this
+  container (no PIL/cv2/ffmpeg — their entropy coders are a genuine
+  codec barrier): with ``FAKE_DECODE`` a deterministic fake (seeded
+  from the content hash) keeps the Spark plumbing testable; without it
+  they raise ``NotImplementedError`` at the documented plug point
+  (`_decode_image_bytes` / `_decode_audio_bytes`).
 """
 
 from __future__ import annotations
@@ -28,7 +30,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-FAKE_DECODE = True  # applies ONLY to codec formats (JPEG/MP3/...)
+FAKE_DECODE = True  # applies ONLY to the codec formats left (JPEG/MP3)
 
 IMAGE_META = T.StructType([
     T.StructField("width", T.IntegerType()),
@@ -105,10 +107,212 @@ def _decode_bmp_bytes(content: bytes) -> np.ndarray:
             // 1000).astype(np.uint8)
 
 
+def _luma(rgb: np.ndarray) -> np.ndarray:
+    """(h, w, 3) uint8 RGB → uint8 grayscale via integer ITU-R 601 luma
+    — the same rounding as the PNM/BMP decoders, so an (r=g=b) image
+    yields the identical grayscale in every format."""
+    rgb = rgb.astype(np.uint32)
+    return ((rgb[..., 0] * 299 + rgb[..., 1] * 587 + rgb[..., 2] * 114)
+            // 1000).astype(np.uint8)
+
+
+def _png_unfilter(raw: np.ndarray, h: int, w: int, ch: int) -> np.ndarray:
+    """Reverse per-scanline PNG filtering (spec §9: None/Sub/Up/Average/
+    Paeth). ``raw`` is the inflated stream: h rows of (1 filter byte +
+    w*ch sample bytes). Vectorized where the recurrence allows — None and
+    Up whole-row, Sub as a per-byte-lane running sum — with a per-pixel
+    fallback only inside Average/Paeth rows (their recon[x-bpp] term is a
+    true sequential dependency)."""
+    stride = w * ch
+    raw = raw.reshape(h, 1 + stride)
+    ftypes, rows = raw[:, 0], raw[:, 1:].astype(np.int32)
+    out = np.zeros((h, stride), dtype=np.int32)
+    prev = np.zeros(stride, dtype=np.int32)
+    for y in range(h):
+        f, cur = int(ftypes[y]), rows[y]
+        if f == 0:  # None
+            rec = cur
+        elif f == 2:  # Up
+            rec = (cur + prev) & 0xFF
+        elif f == 1:  # Sub: recon[x] = filt[x] + recon[x-ch]
+            rec = cur.copy()
+            for lane in range(ch):
+                rec[lane::ch] = np.cumsum(rec[lane::ch]) & 0xFF
+        elif f in (3, 4):  # Average / Paeth — sequential in x
+            rec = np.empty(stride, dtype=np.int32)
+            for x in range(stride):
+                a = rec[x - ch] if x >= ch else 0  # left
+                b = prev[x]  # up
+                if f == 3:
+                    rec[x] = (cur[x] + ((a + b) >> 1)) & 0xFF
+                else:
+                    c = prev[x - ch] if x >= ch else 0  # up-left
+                    p = a + b - c
+                    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                    pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                    rec[x] = (cur[x] + pred) & 0xFF
+        else:
+            raise ValueError(f"bad PNG filter type {f}")
+        out[y] = rec
+        prev = rec
+    return out.astype(np.uint8)
+
+
+def _decode_png_bytes(content: bytes) -> np.ndarray:
+    """PNG → uint8 grayscale 2-D array using only stdlib ``zlib`` +
+    numpy: IHDR parse, IDAT inflate, per-scanline unfiltering, color
+    conversion. 8-bit gray / RGB / palette / gray+alpha / RGBA,
+    non-interlaced (the overwhelming web-crawl case; Adam7 raises)."""
+    import zlib
+
+    if content[:8] != b"\x89PNG\r\n\x1a\n":
+        raise ValueError("not a PNG")
+    pos, idat, plte = 8, [], None
+    w = h = depth = ctype = interlace = None
+    while pos + 8 <= len(content):
+        (length,) = struct.unpack_from(">I", content, pos)
+        ctag = content[pos + 4 : pos + 8]
+        data = content[pos + 8 : pos + 8 + length]
+        pos += 12 + length  # skip CRC
+        if ctag == b"IHDR":
+            w, h, depth, ctype, _comp, _filt, interlace = struct.unpack(
+                ">IIBBBBB", data)
+        elif ctag == b"PLTE":
+            plte = np.frombuffer(data, dtype=np.uint8).reshape(-1, 3)
+        elif ctag == b"IDAT":
+            idat.append(data)
+        elif ctag == b"IEND":
+            break
+    if w is None:
+        raise ValueError("PNG missing IHDR")
+    if depth != 8:
+        raise NotImplementedError(f"only 8-bit PNG (got depth {depth})")
+    if interlace:
+        raise NotImplementedError("Adam7-interlaced PNG not supported")
+    channels = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}.get(ctype)
+    if channels is None:
+        raise ValueError(f"bad PNG color type {ctype}")
+    raw = np.frombuffer(zlib.decompress(b"".join(idat)), dtype=np.uint8)
+    if raw.size != h * (1 + w * channels):
+        raise ValueError("PNG pixel data size mismatch")
+    px = _png_unfilter(raw, h, w, channels)
+    if ctype == 0:
+        return px.reshape(h, w)
+    if ctype == 2:
+        return _luma(px.reshape(h, w, 3))
+    if ctype == 3:
+        if plte is None:
+            raise ValueError("palette PNG missing PLTE")
+        return _luma(plte[px.reshape(h, w)])
+    if ctype == 4:  # gray + alpha: drop alpha
+        return px.reshape(h, w, 2)[..., 0].copy()
+    return _luma(px.reshape(h, w, 4)[..., :3])  # RGBA: drop alpha
+
+
+def _gif_lzw_decode(data: bytes, min_code_size: int) -> list[int]:
+    """GIF-variant LZW (GIF89a spec appendix F) → pixel index list.
+    Pure Python; the per-image byte volume is one frame, not the corpus."""
+    clear, end = 1 << min_code_size, (1 << min_code_size) + 1
+    base = [[i] for i in range(clear)] + [[], []]
+    table = list(base)
+    code_size = min_code_size + 1
+    out: list[int] = []
+    prev: list[int] | None = None
+    acc = nbits = 0
+    for byte in data:
+        acc |= byte << nbits
+        nbits += 8
+        while nbits >= code_size:
+            code = acc & ((1 << code_size) - 1)
+            acc >>= code_size
+            nbits -= code_size
+            if code == clear:
+                table = list(base)
+                code_size = min_code_size + 1
+                prev = None
+                continue
+            if code == end:
+                return out
+            if prev is None:
+                entry = table[code]
+            elif code < len(table):
+                entry = table[code]
+                table.append(prev + [entry[0]])
+            else:  # the KwKwK case
+                entry = prev + [prev[0]]
+                table.append(entry)
+            out.extend(entry)
+            prev = entry
+            if len(table) == (1 << code_size) and code_size < 12:
+                code_size += 1
+    return out
+
+
+def _decode_gif_bytes(content: bytes) -> np.ndarray:
+    """GIF87a/89a first frame → uint8 grayscale 2-D array. Pure-Python
+    LZW + numpy palette lookup; handles interlaced row order."""
+    if content[:4] != b"GIF8":
+        raise ValueError("not a GIF")
+    sw, sh, packed = struct.unpack_from("<HHB", content, 6)
+    pos = 13
+    gct = None
+    if packed & 0x80:
+        n = 2 ** ((packed & 0x07) + 1)
+        gct = np.frombuffer(content, dtype=np.uint8, count=n * 3,
+                            offset=pos).reshape(-1, 3)
+        pos += n * 3
+    while pos < len(content):
+        block = content[pos]
+        if block == 0x21:  # extension: label + sub-blocks
+            pos += 2
+            while content[pos]:
+                pos += 1 + content[pos]
+            pos += 1
+        elif block == 0x2C:  # image descriptor
+            _l, _t, w, h, ipacked = struct.unpack_from("<HHHHB", content, pos + 1)
+            pos += 10
+            pal = gct
+            if ipacked & 0x80:
+                n = 2 ** ((ipacked & 0x07) + 1)
+                pal = np.frombuffer(content, dtype=np.uint8, count=n * 3,
+                                    offset=pos).reshape(-1, 3)
+                pos += n * 3
+            if pal is None:
+                raise ValueError("GIF image with no color table")
+            min_code = content[pos]
+            pos += 1
+            data = bytearray()
+            while content[pos]:
+                ln = content[pos]
+                data += content[pos + 1 : pos + 1 + ln]
+                pos += 1 + ln
+            pos += 1
+            idx = np.array(_gif_lzw_decode(bytes(data), min_code)[: w * h],
+                           dtype=np.uint8).reshape(h, w)
+            if ipacked & 0x40:  # interlaced: rows stored in 4 passes
+                order = ([*range(0, h, 8)] + [*range(4, h, 8)]
+                         + [*range(2, h, 4)] + [*range(1, h, 2)])
+                deinter = np.empty_like(idx)
+                deinter[order] = idx
+                idx = deinter
+            return _luma(pal[idx])
+        elif block == 0x3B:  # trailer
+            break
+        else:
+            raise ValueError(f"bad GIF block 0x{block:02x}")
+    raise ValueError("GIF has no image frame")
+
+
 def _decode_image_bytes(content: bytes) -> np.ndarray:
     """Format-sniffing image decode → uint8 grayscale 2-D array.
-    PPM/PGM/BMP decode for real; codec formats (JPEG/PNG/...) hit the
-    plug point below — replace with PIL/cv2 on a real cluster."""
+    PNG/GIF/PPM/PGM/BMP decode for real (stdlib + numpy only); the
+    remaining codec formats (JPEG — DCT entropy coding needs a real
+    codec lib) hit the plug point below — replace with PIL/cv2 on a
+    real cluster."""
+    if content[:8] == b"\x89PNG\r\n\x1a\n":
+        return _decode_png_bytes(content)
+    if content[:4] == b"GIF8":
+        return _decode_gif_bytes(content)
     if content[:2] in (b"P5", b"P6"):
         return _decode_pnm_bytes(content)
     if content[:2] == b"BM":
@@ -254,6 +458,97 @@ def encode_bmp(gray: np.ndarray) -> bytes:
               + struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0,
                             len(pixel_data), 2835, 2835, 0, 0))
     return header + pixel_data
+
+
+def encode_png(img: np.ndarray, filters: list[int] | None = None) -> bytes:
+    """uint8 grayscale (h, w) or RGB (h, w, 3) array → PNG bytes (stdlib
+    zlib). ``filters`` optionally forces a per-scanline filter type
+    (0-4) so tests can exercise every unfilter branch; default all-0."""
+    import zlib
+
+    if img.ndim == 2:
+        h, w, ch, ctype = *img.shape, 1, 0
+    else:
+        h, w, ch = img.shape
+        ctype = 2
+    img = img.astype(np.int32)
+    flat = img.reshape(h, w * ch)
+    filters = filters or [0] * h
+    raw = bytearray()
+    prev = np.zeros(w * ch, dtype=np.int32)
+    for y in range(h):
+        f, cur = filters[y], flat[y]
+        raw.append(f)
+        if f == 0:
+            filt = cur
+        elif f == 1:  # Sub
+            left = np.concatenate([np.zeros(ch, np.int32), cur[:-ch]])
+            filt = (cur - left) & 0xFF
+        elif f == 2:  # Up
+            filt = (cur - prev) & 0xFF
+        elif f == 3:  # Average
+            left = np.concatenate([np.zeros(ch, np.int32), cur[:-ch]])
+            filt = (cur - ((left + prev) >> 1)) & 0xFF
+        elif f == 4:  # Paeth
+            filt = np.empty(w * ch, dtype=np.int32)
+            for x in range(w * ch):
+                a = cur[x - ch] if x >= ch else 0
+                b = prev[x]
+                c = prev[x - ch] if x >= ch else 0
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                filt[x] = (cur[x] - pred) & 0xFF
+        else:
+            raise ValueError(f"bad filter {f}")
+        raw += bytes(int(v) for v in filt)
+        prev = cur
+
+    def chunk(tag: bytes, data: bytes) -> bytes:
+        return (struct.pack(">I", len(data)) + tag + data
+                + struct.pack(">I", zlib.crc32(tag + data)))
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, ctype, 0, 0, 0)
+    return (b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
+            + chunk(b"IDAT", zlib.compress(bytes(raw)))
+            + chunk(b"IEND", b""))
+
+
+def encode_gif(gray: np.ndarray) -> bytes:
+    """uint8 grayscale 2-D array → GIF89a bytes with a 256-gray global
+    palette, using the standard uncompressed-LZW trick (8-bit literals
+    at 9-bit code width, clear code re-sent before the table would force
+    a width change)."""
+    h, w = gray.shape
+    hdr = b"GIF89a" + struct.pack("<HHBBB", w, h, 0x80 | 0x07, 0, 0)
+    palette = bytes(v for g in range(256) for v in (g, g, g))
+    desc = b"\x2c" + struct.pack("<HHHHB", 0, 0, w, h, 0)
+    clear, end = 256, 257
+    codes = [clear]
+    for i, px in enumerate(gray.flatten().tolist()):
+        # table grows by 1 per emitted literal: re-clear before it hits
+        # 511 so the code width stays at 9 bits
+        if i and i % 253 == 0:
+            codes.append(clear)
+        codes.append(px)
+    codes.append(end)
+    acc = nbits = 0
+    payload = bytearray()
+    for code in codes:
+        acc |= code << nbits
+        nbits += 9
+        while nbits >= 8:
+            payload.append(acc & 0xFF)
+            acc >>= 8
+            nbits -= 8
+    if nbits:
+        payload.append(acc & 0xFF)
+    blocks = bytearray([8])  # LZW min code size
+    for i in range(0, len(payload), 255):
+        sub = payload[i : i + 255]
+        blocks += bytes([len(sub)]) + sub
+    blocks.append(0)  # block terminator
+    return hdr + palette + desc + bytes(blocks) + b"\x3b"
 
 
 def attach_image_meta(df: DataFrame, bin_col: str) -> DataFrame:

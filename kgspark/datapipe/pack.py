@@ -99,7 +99,12 @@ def pack_sequences(
         # range the shard-sizing model and partitioned writes assume
         F.pmod(F.col(id_col), F.lit(n_shards)).cast("int").alias("shard"),
         F.size(tokenize(F.col(text_col))).cast("long").alias("n_tokens"),
-    )
+        # size(NULL) is -1 under Spark's legacy sizeOfNull default: a
+        # NULL-text doc would enter the packer with n_tokens=-1 and
+        # silently shrink the running fill, shifting every later bin in
+        # the shard (and the DuckDB oracle yields NULL there). Drop such
+        # rows — matching the oracle's `WHERE text IS NOT NULL`.
+    ).where(F.col("n_tokens") >= 0)
     return slim.groupBy("shard").applyInPandas(
         _pack, "doc_id long, shard int, seq_bin long, n_tokens long"
     )
@@ -122,7 +127,7 @@ def pack_sequences_oracle_sql(
                  row_number() OVER (
                      PARTITION BY ((doc_id % {n_shards}) + {n_shards}) % {n_shards}
                      ORDER BY doc_id) AS rn
-          FROM ({docs_sql})
+          FROM ({docs_sql}) WHERE text IS NOT NULL
         ),
         packed AS (
           SELECT doc_id, shard, n_tokens, rn,

@@ -53,6 +53,13 @@ def stratified_sample(
     """
     if any(w < 0 for w in weights.values()) or default_weight < 0:
         raise ValueError("weights must be >= 0")
+    clash = {"_n", "copy"} & set(docs.columns)
+    if clash:
+        raise ValueError(
+            f"input already has column(s) {sorted(clash)} — `copy` is the "
+            "reserved output column (and `_n` a working column); rename "
+            "them before sampling rather than having them silently "
+            "overwritten")
     w_micro = F.lit(int(round(default_weight * RESOLUTION)))
     for k in sorted(weights):  # deterministic CASE order
         w_micro = F.when(F.col(strata_col) == k,
@@ -86,9 +93,13 @@ def stratified_sample_oracle_sql(
     """DuckDB replay: same md5-60bit uniform, same CASE, same
     floor+fractional copy rule (generate_series instead of explode)."""
     default_micro = int(round(default_weight * RESOLUTION))
+
+    def q(s: str) -> str:  # SQL string literal: double embedded quotes
+        return s.replace("'", "''")
+
     if weights:
         case = " ".join(
-            f"WHEN {strata_col} = '{k}' THEN {int(round(weights[k] * RESOLUTION))}"
+            f"WHEN {strata_col} = '{q(k)}' THEN {int(round(weights[k] * RESOLUTION))}"
             for k in sorted(weights)
         )
         w_expr = f"CASE {case} ELSE {default_micro} END"
@@ -98,7 +109,7 @@ def stratified_sample_oracle_sql(
         WITH w AS (
           SELECT *,
                  {w_expr} AS w_micro,
-                 CAST(('0x' || substr(md5('{salt}:' || CAST({id_col} AS VARCHAR)), 1, 15))::BIGINT
+                 CAST(('0x' || substr(md5('{q(salt)}:' || CAST({id_col} AS VARCHAR)), 1, 15))::BIGINT
                       % {RESOLUTION} AS BIGINT) AS u
           FROM ({docs_sql})
         ), n AS (

@@ -10,9 +10,10 @@ reference "first wins", bulk_utils.py:283-287), with D4's transitive
 closure handled by the CC fixpoint itself.
 
 All joins are equi-joins on derived keys (group_id + alias key / LSH
-band) — no cross joins; alias-cluster components are tiny so the CC
-loop converges in O(log max-component) iterations (bounded at 10,
-localCheckpoint per iteration to truncate lineage).
+band) — no cross joins; the CC step is alternating large-star/
+small-star (Kiveris et al. 2014) with a proven O(log² n) round bound
+(localCheckpoint per round to truncate lineage) plus a driver
+union-find fast path for alias graphs under 1M edges.
 """
 
 from __future__ import annotations
@@ -163,25 +164,31 @@ def _union_find(rows) -> dict:
 
 def connected_components(
     pairs: DataFrame, max_rounds: int = 64, driver_threshold: int = 1_000_000,
-    rounds: int | None = None,
+    rounds: int | None = None, _stats: dict | None = None,
 ) -> DataFrame:
-    """Min-label propagation + pointer jumping over the undirected
+    """Alternating large-star/small-star connected components (Kiveris,
+    Lattanzi, Mirrokni, Rastogi, Vassilvitskii, "Connected Components in
+    MapReduce and Beyond", SoCC 2014 — public) over the undirected
     alias-pair graph → (id, comp) — subsumes D4 transitive uuid-map
     compression (bulk_utils.py:387-396): chains a→b→c converge to one
-    component. Each round does (1) adopt the min label among neighbors
-    and (2) jump: label ← label(label), then checks a slim
-    changed-any-label probe (limit(1).count() over the label frame —
-    the same convergence test as C2 label propagation) and stops at a
-    fixpoint. The jump step usually collapses chains in O(log d)
-    rounds, but it is NOT a guaranteed doubling: on adversarial id
-    orderings the adopted label is already a root and the jump is a
-    no-op, so a diameter-d path can genuinely need d rounds (hypothesis
-    found a diameter-7 example that a fixed 6 rounds mislabeled —
-    test_property pins it). Hence convergence-checked with
-    ``max_rounds`` as a safety valve, not a fixed round count;
-    ``rounds``, if given, overrides max_rounds (legacy alias). Raises
-    if the cap is hit before convergence rather than returning a
-    silently-wrong labeling. localCheckpoint truncates lineage.
+    component, comp = min(id) per component.
+
+    Each round applies large-star (every node links its strictly-larger
+    neighbors to the min of its closed neighborhood) then small-star
+    (every node links its smaller-or-equal neighbors and itself to that
+    min), and stops when the edge set is unchanged — at which point the
+    graph is a disjoint set of min-rooted stars that read off directly
+    as labels. Unlike the previous min-label+pointer-jump loop (whose
+    jump is NOT a guaranteed doubling — a diameter-d path could need d
+    rounds on adversarial id orderings; hypothesis found a diameter-7
+    mislabeling, test_property pins it), the alternating algorithm has
+    a PROVEN O(log² n) round bound regardless of id ordering, so the
+    ``max_rounds`` raise is an unreachable backstop rather than a live
+    failure mode on deep graphs. Still convergence-checked: raises if
+    the cap is somehow hit rather than returning a silently-wrong
+    labeling; ``rounds``, if given, overrides max_rounds (legacy
+    alias); ``_stats``, if passed, receives {"rounds": k} for tests.
+    localCheckpoint truncates lineage per round.
 
     Small-graph fast path: below ``driver_threshold`` edges the pair
     list fits trivially in driver memory and a union-find beats ~30
@@ -204,7 +211,7 @@ def connected_components(
     expensive, LSH-verify-backed) pairs lineage TWICE — measured ~390
     wasted core-s per 20k-doc build. Only the ≥threshold scale path
     re-evaluates pairs, where the extra pass is noise against the
-    pointer-jumping loop's own ~30 stages."""
+    star loop's own stages."""
     spark = pairs.sparkSession
     id_type = pairs.schema["id_a"].dataType
     spark.sparkContext.setJobDescription("cc: fast-path probe (single take)")
@@ -220,50 +227,70 @@ def connected_components(
         return _df_from_driver(
             spark, out, T.StructType([T.StructField("id", id_type),
                                       T.StructField("comp", id_type)]))
-    edges = (
-        pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
-        .unionByName(pairs.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst")))
+    # canonical unordered-pair representation: (hi, lo), hi > lo, distinct
+    stars = (
+        pairs.select(F.greatest("id_a", "id_b").alias("hi"),
+                     F.least("id_a", "id_b").alias("lo"))
+        .where(F.col("hi") != F.col("lo"))
         .distinct()
-        .persist()
+        .localCheckpoint()
     )
-    labels = (
-        edges.select(F.col("src").alias("id"))
-        .distinct()
-        .withColumn("comp", F.col("id"))
-    )
-    labels = labels.localCheckpoint()
     cap = rounds if rounds is not None else max_rounds
     converged = False
+    n_rounds = 0
     for _ in range(cap):
-        nbr_min = (
-            edges.join(labels, edges.dst == labels.id)
-            .groupBy("src")
-            .agg(F.min("comp").alias("nbr_comp"))
+        n_rounds += 1
+        # --- large-star: u links every strictly-larger neighbor to
+        # m(u) = min(Γ(u) ∪ {u}). Needs the full symmetric neighborhood.
+        sym = stars.select(F.col("hi").alias("u"), F.col("lo").alias("v")) \
+            .unionByName(stars.select(F.col("lo").alias("u"),
+                                      F.col("hi").alias("v")))
+        mins = sym.groupBy("u").agg(F.min("v").alias("mn")) \
+            .select("u", F.least("mn", "u").alias("m"))
+        large = (
+            sym.join(mins, "u")
+            .where(F.col("v") > F.col("u"))  # larger neighbors only
+            .select(F.col("v").alias("hi"), F.col("m").alias("lo"))
+            .where(F.col("hi") != F.col("lo"))
+            .distinct()
         )
-        new_labels = labels.join(nbr_min, labels.id == nbr_min.src, "left").select(
-            "id",
-            F.least(F.col("comp"), F.coalesce(F.col("nbr_comp"), F.col("comp"))).alias("comp"),
+        # --- small-star: on the (hi → lo) orientation every edge already
+        # points large→small, so Γ_small(u) = {lo : (u, lo)}; u links
+        # each smaller neighbor and itself to m(u) = min(Γ_small ∪ {u}).
+        smins = large.groupBy("hi").agg(F.min("lo").alias("m"))
+        small = (
+            large.join(smins, "hi")
+            .select(F.col("lo").alias("hi"), F.col("m").alias("lo"))
+            .unionByName(smins.select(F.col("hi"), F.col("m").alias("lo")))
+            .where(F.col("hi") != F.col("lo"))
+            .distinct()
+            .localCheckpoint()
         )
-        # pointer jump: comp ← comp(comp)
-        jump = new_labels.select(F.col("id").alias("jid"), F.col("comp").alias("jcomp"))
-        new_labels = new_labels.join(jump, new_labels.comp == jump.jid, "left").select(
-            "id", F.coalesce("jcomp", "comp").alias("comp")
-        ).localCheckpoint()
+        # fixpoint ⇔ edge set unchanged (a disjoint star set is invariant
+        # under both steps); both sides are distinct sets, so two slim
+        # anti-join probes decide equality without a full count
         changed = (
-            new_labels.alias("n").join(labels.alias("o"), "id")
-            .where(F.col("n.comp") != F.col("o.comp"))
-            .limit(1).count()
+            small.join(stars, ["hi", "lo"], "left_anti").limit(1).count()
+            + stars.join(small, ["hi", "lo"], "left_anti").limit(1).count()
         )
-        labels = new_labels
+        stars = small
         if changed == 0:
             converged = True
             break
-    edges.unpersist()
+    if _stats is not None:
+        _stats["rounds"] = n_rounds
     if not converged:
         raise RuntimeError(
             f"connected_components did not converge within {cap} rounds — "
-            "raise max_rounds (a component's diameter exceeds the cap)")
-    return labels
+            "raise max_rounds (should be unreachable: the alternating "
+            "star algorithm is O(log² n) rounds)")
+    # converged star set: (child, center) edges; centers label themselves
+    return (
+        stars.select(F.col("hi").alias("id"), F.col("lo").alias("comp"))
+        .unionByName(
+            stars.select(F.col("lo").alias("id"), F.col("lo").alias("comp"))
+            .distinct())
+    )
 
 
 def build_uuid_map(

@@ -412,3 +412,116 @@ def test_ivf_index_partition_pruning(spark, tmp_path):
     with pytest.raises(Exception):
         spark.read.schema(idx_schema).parquet(path).where(
             F.col("cid") >= 0).select(F.sum(F.col("vec_id"))).collect()
+
+
+def test_png_decode_known_answer_vectors():
+    """Decoder vs hand-computed filter vectors from the PNG spec (§9) —
+    independent of encode_png, so a symmetric encoder/decoder bug can't
+    hide. IDAT bytes below were filtered BY HAND for the 2×3 image
+    [[10,20,30],[40,50,60]]."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    from kgspark.datapipe.multimodal import _decode_png_bytes
+
+    def png(idat_raw: bytes, w: int, h: int) -> bytes:
+        def chunk(tag, data):
+            return (struct.pack(">I", len(data)) + tag + data
+                    + struct.pack(">I", zlib.crc32(tag + data)))
+        ihdr = struct.pack(">IIBBBBB", w, h, 8, 0, 0, 0, 0)
+        return (b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
+                + chunk(b"IDAT", zlib.compress(idat_raw)) + chunk(b"IEND", b""))
+
+    want = np.array([[10, 20, 30], [40, 50, 60]], dtype=np.uint8)
+    # Paeth both rows: row0 pred degenerates to left → [10,10,10];
+    # row1: x0 pred=up(10)→30, x1 pred=left(40)→10, x2 pred=left(50)→10
+    paeth = bytes([4, 10, 10, 10, 4, 30, 10, 10])
+    assert np.array_equal(_decode_png_bytes(png(paeth, 3, 2)), want)
+    # Average both rows: row0 → [10,15,20]; row1 (prev=[10,20,30]) →
+    # x0 (0+10)>>1=5→35, x1 (40+20)>>1=30→20, x2 (50+30)>>1=40→20
+    avg = bytes([3, 10, 15, 20, 3, 35, 20, 20])
+    assert np.array_equal(_decode_png_bytes(png(avg, 3, 2)), want)
+    # Sub row0 [10,10,10]; Up row1 (cur-prev) [30,30,30]
+    subup = bytes([1, 10, 10, 10, 2, 30, 30, 30])
+    assert np.array_equal(_decode_png_bytes(png(subup, 3, 2)), want)
+
+
+def test_png_gif_real_decode_through_spark(spark):
+    """Real PNG (every filter type, gray + RGB + palette + RGBA) and GIF
+    bytes decoded end-to-end through the image_features mapInPandas
+    path; stats match numpy ground truth computed outside Spark."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    from kgspark.datapipe.multimodal import (
+        _decode_png_bytes,
+        encode_gif,
+        encode_png,
+        encode_ppm,
+    )
+
+    rng = np.random.default_rng(42)
+    gray = rng.integers(0, 256, size=(48, 40), dtype=np.uint8)
+    rgb = np.repeat(gray[:, :, None], 3, axis=2)
+    filters = [i % 5 for i in range(48)]
+
+    # palette PNG (ctype 3): grayscale palette, so luma(pal[i]) == i
+    def chunk(tag, data):
+        return (struct.pack(">I", len(data)) + tag + data
+                + struct.pack(">I", zlib.crc32(tag + data)))
+    plte = bytes(v for g in range(256) for v in (g, g, g))
+    raw = b"".join(b"\x00" + gray[y].tobytes() for y in range(48))
+    pal_png = (b"\x89PNG\r\n\x1a\n"
+               + chunk(b"IHDR", struct.pack(">IIBBBBB", 40, 48, 8, 3, 0, 0, 0))
+               + chunk(b"PLTE", plte) + chunk(b"IDAT", zlib.compress(raw))
+               + chunk(b"IEND", b""))
+    # RGBA PNG (ctype 6), alpha ignored by the luma conversion
+    rgba = np.concatenate(
+        [rgb, rng.integers(0, 256, size=(48, 40, 1), dtype=np.uint8)], axis=2)
+    raw6 = b"".join(b"\x00" + rgba[y].tobytes() for y in range(48))
+    rgba_png = (b"\x89PNG\r\n\x1a\n"
+                + chunk(b"IHDR", struct.pack(">IIBBBBB", 40, 48, 8, 6, 0, 0, 0))
+                + chunk(b"IDAT", zlib.compress(raw6)) + chunk(b"IEND", b""))
+    assert np.array_equal(_decode_png_bytes(pal_png), gray)
+    assert np.array_equal(_decode_png_bytes(rgba_png), gray)
+
+    df = spark.createDataFrame(pd.DataFrame({
+        "id": [1, 2, 3, 4, 5, 6],
+        "payload": [encode_png(gray, filters), encode_png(rgb, filters),
+                    pal_png, rgba_png, encode_gif(gray), encode_ppm(gray)],
+    }))
+    rows = {r["id"]: r for r in image_features(df, "id", "payload").collect()}
+    assert all(rows[i]["width"] == 40 and rows[i]["height"] == 48
+               for i in rows)
+    # gray PNG, palette PNG, GIF and the PGM control decode identically;
+    # RGB/RGBA go through the same integer luma (r=g=b → same pixels)
+    want_mean = round(float(gray.mean()), 3)
+    ref = rows[6]
+    for i in (1, 2, 3, 4, 5):
+        assert rows[i]["mean_lum"] == want_mean
+        assert rows[i]["phash"] == ref["phash"]
+
+
+def test_png_unsupported_variants_raise():
+    import struct
+    import zlib
+
+    import numpy as np
+    import pytest as _pytest
+
+    from kgspark.datapipe.multimodal import _decode_png_bytes, encode_png
+
+    def rewrite_ihdr(png: bytes, depth=8, ctype=0, interlace=0) -> bytes:
+        ihdr = struct.pack(">IIBBBBB", 3, 2, depth, ctype, 0, 0, interlace)
+        return (png[:8] + struct.pack(">I", 13) + b"IHDR" + ihdr
+                + struct.pack(">I", zlib.crc32(b"IHDR" + ihdr)) + png[33:])
+
+    base = encode_png(np.zeros((2, 3), dtype=np.uint8))
+    with _pytest.raises(NotImplementedError, match="16|depth"):
+        _decode_png_bytes(rewrite_ihdr(base, depth=16))
+    with _pytest.raises(NotImplementedError, match="interlaced"):
+        _decode_png_bytes(rewrite_ihdr(base, interlace=1))

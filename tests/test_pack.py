@@ -104,6 +104,29 @@ def test_pack_negative_ids_shard_in_range_and_match_oracle(spark):
     assert {d: (int(s), int(b)) for d, (s, b) in want.items()} == got
 
 
+def test_pack_null_text_dropped_not_corrupting(spark):
+    """size(tokenize(NULL)) = -1 under legacy sizeOfNull: an unguarded
+    packer would feed n_tokens=-1 into the running fill and shift every
+    later bin in the shard. NULL-text docs must be dropped, and the
+    remaining docs must bin exactly as if the NULL row never existed."""
+    import duckdb
+
+    rows = [(0, "a b c"), (1, None), (2, "d e f"), (3, "g h i")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = pack_sequences(df, budget=6, n_shards=1).collect()
+    got = {r["doc_id"]: (r["seq_bin"], r["n_tokens"]) for r in out}
+    # doc 1 gone; 0+2 fill bin 0 (3+3=6), 3 starts bin 1 — identical to
+    # packing [0, 2, 3] alone
+    assert got == {0: (0, 3), 2: (0, 3), 3: (1, 3)}
+    con = duckdb.connect()
+    con.execute("CREATE TABLE docs (doc_id BIGINT, text VARCHAR)")
+    con.executemany("INSERT INTO docs VALUES (?, ?)", rows)
+    sql = pack_sequences_oracle_sql("SELECT doc_id, text FROM docs",
+                                    budget=6, n_shards=1)
+    want = {r[0]: (int(r[2]), int(r[3])) for r in con.execute(sql).fetchall()}
+    assert want == got
+
+
 def test_pack_oracle_matches_spark_in_duckdb(spark):
     import duckdb
 

@@ -139,6 +139,31 @@ def test_connected_components_deep_chain_regression(spark, path):
             connected_components(df, max_rounds=2, driver_threshold=0).collect()
 
 
+def test_connected_components_path_graph_logsq_rounds(spark):
+    """Worst case for label propagation — a 120-node path graph forced
+    down the distributed branch — must converge well inside the
+    alternating star algorithm's proven O(log² n) round bound (Kiveris
+    et al. 2014) instead of degenerating to O(diameter) rounds and
+    tripping max_rounds."""
+    import math
+
+    from kgspark.operators.dedup import connected_components
+
+    n = 120
+    df = spark.createDataFrame(
+        pd.DataFrame([(i, i + 1) for i in range(n - 1)],
+                     columns=["id_a", "id_b"]))
+    stats = {}
+    got = {r["id"]: r["comp"] for r in
+           connected_components(df, driver_threshold=0,
+                                _stats=stats).collect()}
+    assert got == {i: 0 for i in range(n)}
+    bound = 2 * math.ceil(math.log2(n)) ** 2
+    assert stats["rounds"] <= bound, (stats, bound)
+    # observed: 8 rounds — O(log n)-ish in practice, far under the bound
+    assert stats["rounds"] <= 2 * math.ceil(math.log2(n))
+
+
 @settings(**SETTINGS)
 @given(texts=st.lists(st.sampled_from(["aa", "bb", "cc", "aa bb"]), min_size=1, max_size=12))
 def test_exact_dedup_idempotent(spark, texts):

@@ -109,6 +109,33 @@ def test_empty_weights_oracle_sql_is_valid(spark):
     assert len(con.execute(sql).fetchall()) == 10
 
 
+def test_reserved_output_columns_raise_instead_of_clobbering(spark):
+    df = spark.createDataFrame([(1, "en", 9)], ["doc_id", "lang", "copy"])
+    with pytest.raises(ValueError, match="copy"):
+        stratified_sample(df, {"en": 1.0})
+    df2 = spark.createDataFrame([(1, "en", 9)], ["doc_id", "lang", "_n"])
+    with pytest.raises(ValueError, match="_n"):
+        stratified_sample(df2, {"en": 1.0})
+
+
+def test_oracle_sql_escapes_quotes_in_keys_and_salt(spark):
+    import duckdb
+
+    rows = [(1, "o'brien"), (2, "en")]
+    con = duckdb.connect()
+    con.execute("CREATE TABLE docs (doc_id BIGINT, lang VARCHAR)")
+    con.executemany("INSERT INTO docs VALUES (?, ?)", rows)
+    weights, salt = {"o'brien": 1.0}, "mix'v1"
+    sql = stratified_sample_oracle_sql("SELECT doc_id, lang FROM docs",
+                                       weights, salt=salt)
+    want = sorted((int(r[0]), r[1], int(r[2]))
+                  for r in con.execute(sql).fetchall())
+    df = spark.createDataFrame(rows, ["doc_id", "lang"])
+    got = sorted((r["doc_id"], r["lang"], r["copy"])
+                 for r in stratified_sample(df, weights, salt=salt).collect())
+    assert want == got == [(1, "o'brien", 0)]
+
+
 def test_resolution_quantization():
     assert RESOLUTION == 1_000_000  # weights quantized at 1e-6 — the
     # documented contract for oracle-exact CASE thresholds

@@ -1,0 +1,98 @@
+"""Memory-bandwidth microbenchmark: quantifies the single-box ceiling
+that caps CPU-scaling efficiency for memory-bound stages.
+
+STREAM-style triad (a = b + s*c, 24 bytes/element of traffic) run in K
+independent processes, each pinned to its own physical core, arrays
+sized far past LLC. Aggregate bandwidth at K cores vs K=1 gives the
+hardware's maximum achievable speedup for a bandwidth-bound job:
+
+    predicted_efficiency_ceiling(K) = agg_bw(K) / (K * agg_bw(1))
+
+This is the measurement behind BENCH_SCALING_1M8.json's narrative: the
+1.8M-doc pipeline's 1->4-core efficiency cannot exceed this ceiling on
+this box no matter how perfectly the Spark plan scales, because the
+per-core bandwidth each ADDITIONAL core sees shrinks as the shared
+memory controllers saturate. A real 4x cluster adds 4x memory systems
+and does not hit this wall.
+
+Usage: python tools/bandwidth_bench.py [cores ...] [--out FILE]
+Defaults: 1 2 4 8, BENCH_BANDWIDTH.json. Run on an otherwise-idle box
+(same protocol as the scaling legs - no concurrent compute).
+"""
+
+from __future__ import annotations
+
+import json
+import multiprocessing as mp
+import os
+import sys
+import time
+
+import numpy as np
+
+N = 32 * 1024 * 1024  # 32M float64 = 256 MB/array, 768 MB/worker: >> LLC
+REPS = 6
+
+
+def _triad_worker(core: int, barrier, out_q) -> None:
+    os.sched_setaffinity(0, {core})
+    rng = np.random.default_rng(core)
+    b = rng.random(N)
+    c = rng.random(N)
+    a = np.empty_like(b)
+    np.add(b, 3.0 * c, out=a)  # touch every page before timing
+    barrier.wait()  # all workers start the timed window together
+    t0 = time.perf_counter()
+    for _ in range(REPS):
+        np.multiply(c, 3.0, out=a)
+        np.add(a, b, out=a)
+    dt = time.perf_counter() - t0
+    # triad traffic: read b, read c, write a = 24 bytes/element/rep
+    out_q.put((core, 24.0 * N * REPS / dt / 1e9))
+
+
+def measure(k: int) -> dict:
+    ctx = mp.get_context("spawn")
+    barrier = ctx.Barrier(k)
+    out_q = ctx.Queue()
+    procs = [ctx.Process(target=_triad_worker, args=(i, barrier, out_q))
+             for i in range(k)]
+    for p in procs:
+        p.start()
+    per_core = [out_q.get() for _ in procs]
+    for p in procs:
+        p.join()
+    agg = sum(bw for _, bw in per_core)
+    return {"cores": k, "aggregate_gb_s": round(agg, 2),
+            "per_core_gb_s": round(agg / k, 2)}
+
+
+def main() -> None:
+    args = [a for a in sys.argv[1:] if not a.startswith("--")]
+    out_path = "BENCH_BANDWIDTH.json"
+    if "--out" in sys.argv:
+        out_path = sys.argv[sys.argv.index("--out") + 1]
+    cores = [int(a) for a in args] or [1, 2, 4, 8]
+    results = [measure(k) for k in sorted(set(cores))]
+    base = results[0]["aggregate_gb_s"] / results[0]["cores"]
+    for r in results:
+        r["bw_scaling_efficiency_vs_1core"] = round(
+            r["aggregate_gb_s"] / (r["cores"] * base), 3)
+    summary = {
+        "metric": "stream_triad_aggregate_bandwidth",
+        "unit": "GB/s (24 bytes/element triad traffic)",
+        "array_mb_per_worker": round(3 * N * 8 / 1e6),
+        "points": results,
+        "interpretation": (
+            "bw_scaling_efficiency_vs_1core at K cores is the HARDWARE "
+            "ceiling on K-core CPU-scaling efficiency for any "
+            "memory-bandwidth-bound stage on this box"),
+    }
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    with open(os.path.join(repo, out_path), "w") as f:
+        json.dump(summary, f, indent=2)
+    print(json.dumps(summary))
+
+
+if __name__ == "__main__":
+    main()

@@ -15,8 +15,8 @@ already inflates ~1.3× vs local[2], and local[32] inflates ~2.2× vs
 local[8], from cache/bus contention that a real 4× cluster would not
 see (numbers in BASELINE.md).
 
-Usage: python tools/scaling_bench.py [n_docs] [N] [4N] [repeats]
-Defaults: 600000 docs, N=1, 4N=4. Writes BENCH_SCALING.json.
+Usage: python tools/scaling_bench.py [n_docs] [N] [4N] [repeats] [out.json]
+Defaults: 600000 docs, N=1, 4N=4, out=BENCH_SCALING.json.
 """
 
 from __future__ import annotations
@@ -65,6 +65,7 @@ def main() -> None:
     lo = int(sys.argv[2]) if len(sys.argv) > 2 else 1
     hi = int(sys.argv[3]) if len(sys.argv) > 3 else 4 * lo
     repeats = int(sys.argv[4]) if len(sys.argv) > 4 else 2
+    out_path = sys.argv[5] if len(sys.argv) > 5 else "BENCH_SCALING.json"
     small = n_docs // 4
     res = {}
     for cpus in (lo, hi):
@@ -109,7 +110,7 @@ def main() -> None:
             "quarter and full corpus, cancelling fixed per-job driver cost"
         ),
     }
-    with open(os.path.join(REPO, "BENCH_SCALING.json"), "w") as f:
+    with open(os.path.join(REPO, out_path), "w") as f:
         json.dump(summary, f, indent=2)
     print(json.dumps(summary))
 

@@ -106,8 +106,18 @@ def main() -> None:
     # attributes (that is the point-update path's stage; see
     # pipeline.build_graph docstring). E4 hydration is benched by its
     # own oracle query (e4_attributes) and the e2e eval.
+    # JVM GC wall during the pipeline legs (driver+executors share one
+    # JVM in local mode): separates "slower because GC" from "slower
+    # because idle/contended" when two cluster sizes are compared.
+    def _gc_ms() -> int:
+        beans = spark._jvm.java.lang.management.ManagementFactory \
+            .getGarbageCollectorMXBeans()
+        return int(sum(beans.get(i).getCollectionTime()
+                       for i in range(beans.size())))
+
     runs: dict[str, list[float]] = {}
     pipe_runs = []
+    gc_before = _gc_ms()
     n_edges = n_nodes = 0
     for _ in range(PIPE_REPEATS):
         t0 = time.perf_counter()
@@ -119,6 +129,7 @@ def main() -> None:
         # runs measure the same cold-cache job (pages stay checkpointed)
         spark.catalog.clearCache()
     pipe_sec = statistics.median(pipe_runs)
+    pipe_gc_ms = _gc_ms() - gc_before
     timings["pipeline_build_graph"] = round(pipe_sec, 3)
     runs["pipeline_build_graph"] = pipe_runs
 
@@ -167,6 +178,7 @@ def main() -> None:
             "triples": n_edges,
             "docs_per_sec": round(docs_per_sec, 1),
             "triples_per_sec": round(triples_per_sec, 1),
+            "jvm_gc_ms": pipe_gc_ms,
             "cpus": CPUS,
         },
     }))

@@ -296,14 +296,25 @@ class KGSpark:
         num_results: int = 10,
     ) -> DataFrame:
         """Default edge search (reference graphiti.py:624-681): RRF
-        recipe, or node-distance recipe when a center node is given."""
+        recipe, or node-distance recipe when a center node is given.
+        Hydrated like the reference's return (a list of full EntityEdge
+        objects, not bare ids): the ranked (uuid, score) frame is joined
+        back to the edges table. Both recipes used here order by
+        (score desc, uuid) — RRF literally, node-distance via score =
+        1/dist — so the re-sort after the join reproduces the ranking."""
         from dataclasses import replace
 
         cfg = (EDGE_HYBRID_SEARCH_NODE_DISTANCE if center_node_uuid
                else EDGE_HYBRID_SEARCH_RRF)
         cfg = replace(cfg, limit=num_results)
-        res = self.search_(query, cfg, group_ids, center_node_uuid)
-        return res.edges
+        ranked = self.search_(query, cfg, group_ids, center_node_uuid).edges
+        if not self.store.exists("edges"):
+            return ranked
+        edges = self.store.read(self.spark, "edges")
+        return (
+            ranked.join(edges, "uuid", "left")
+            .orderBy(F.desc("score"), "uuid")
+        )
 
     def retrieve_episodes(
         self,
@@ -395,6 +406,41 @@ class KGSpark:
         _remove_communities(self.store, self.spark)
 
     # ------------------------------------------------------------ maintenance
+    def get_edge(self, edge_uuid: str) -> DataFrame:
+        """Point lookup of one entity edge by uuid (reference
+        EntityEdge.get_by_uuid, used by the MCP get_entity_edge tool,
+        graphiti_mcp_server.py:986-1013). IN-filter pushes to the scan."""
+        return self._edges_or_raise().where(F.col("uuid") == edge_uuid)
+
+    def remove_edge(self, edge_uuid: str) -> bool:
+        """Delete one entity edge record by uuid (reference
+        EntityEdge.delete via the MCP delete_entity_edge tool,
+        graphiti_mcp_server.py:926-953). No cascade — the reference
+        removes only the edge; nodes/episodes stay. The rewrite is scoped
+        to the edge's gpart partition; the group's fulltext postings are
+        re-spliced so the deleted fact stops matching BM25. Returns False
+        when no such edge exists."""
+        if not self.store.exists("edges"):
+            return False
+        hit = (self.store.read(self.spark, "edges")
+               .where(F.col("uuid") == edge_uuid).select("group_id").take(1))
+        if not hit:
+            return False
+        groups = self.spark.createDataFrame(
+            [(hit[0]["group_id"],)], "group_id string")
+        if self.store.is_partitioned("edges"):
+            parts = self.store.group_parts(groups)
+            kept = (self.store.read_parts(self.spark, "edges", parts)
+                    .where(F.col("uuid") != edge_uuid))
+            self.store._overwrite_parts("edges", kept, parts)
+        else:
+            kept = (self.store.read(self.spark, "edges")
+                    .where(F.col("uuid") != edge_uuid).localCheckpoint())
+            self.store.write("edges", kept)
+        self._refresh_postings_if_maintained(groups)
+        self._invalidate_postings()
+        return True
+
     def remove_episode(self, episode_uuid: str,
                        now: datetime | None = None) -> None:
         """Cascading delete (reference graphiti.py:776-805). The episode

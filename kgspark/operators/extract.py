@@ -73,6 +73,10 @@ class Extracted(NamedTuple):
     episodes: DataFrame       # EPISODES schema minus entity_edges backfill
     ext_nodes: DataFrame      # uuid, name, group_id, entity_type, episode_uuid, created_at
     ext_edges: DataFrame      # uuid, subj/obj name+uuid, pred, fact, temporal cols
+    # the shared UDF-output persist all three frames read from —
+    # per-batch callers (streaming ingest) unpersist it when the batch
+    # is done so a long-running stream doesn't accumulate dead caches
+    cached: DataFrame | None = None
 
 
 def pages_to_episodes(pages: DataFrame) -> DataFrame:
@@ -163,7 +167,7 @@ def run_extraction(episodes: DataFrame) -> Extracted:
     episodes_out = episodes.drop("summary_text").join(
         extracted.select("uuid", "summary_text"), "uuid", "left"
     )
-    return Extracted(episodes_out, ext_nodes, ext_edges)
+    return Extracted(episodes_out, ext_nodes, ext_edges, extracted)
 
 
 def build_entity_nodes(ext_nodes: DataFrame, embed_dim: int = 64) -> DataFrame:

@@ -65,7 +65,7 @@ def build_graph(
     attributes.DEFAULT_ENTITY_TYPES for the full typed fill or {} for
     fact-derived summaries only. KGSpark's ingest always hydrates
     (add_episode parity)."""
-    episodes, ext_nodes, ext_edges = run_extraction(pages_to_episodes(pages))
+    episodes, ext_nodes, ext_edges = run_extraction(pages_to_episodes(pages))[:3]
     return assemble_graph(episodes, ext_nodes, ext_edges, embed_dim, now, dedup,
                           entity_types, edge_salt)
 

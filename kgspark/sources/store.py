@@ -129,25 +129,34 @@ class GraphStore:
         removed explicitly — dynamic overwrite only touches partitions
         present in the new data, so an emptied one would otherwise keep
         serving its old files."""
-        out = out.localCheckpoint()  # materialize before replacing files we read
-        # one job yields both the row count and the present-partition set
-        # (micro-batch ingest runs this per table — job count is wall time)
-        per_part = out.groupBy(
-            self._gpart(F.col("group_id")).alias("gpart")).count().collect()
-        n = int(sum(r["count"] for r in per_part))
-        present = {r["gpart"] for r in per_part}
-        if present:
-            self.write_grouped(table, out, dynamic=True)
-        for p in set(parts) - present:
-            stale = os.path.join(self.path(table), f"gpart={p}")
-            if os.path.isdir(stale):
-                shutil.rmtree(stale)
-        if not self.exists(table):
-            # table fully emptied: a partitioned write of an empty frame
-            # leaves no parquet at all (unreadable dir) — keep a
-            # schema-only flat empty table so reads still work;
-            # append_grouped migrates it back to partitioned layout.
-            self.write(table, out.limit(0))
+        # materialize before replacing files we read — persist, with the
+        # count below as the materializing action, instead of an eager
+        # localCheckpoint: one job fewer per spliced table (micro-batch
+        # ingest runs this 6+ times per batch — job count is wall time).
+        # MEMORY_AND_DISK spills rather than evicting, so the write can
+        # never recompute from the files this method is about to replace.
+        out = out.persist()
+        try:
+            # one job yields the row count, the present-partition set AND
+            # the cache population
+            per_part = out.groupBy(
+                self._gpart(F.col("group_id")).alias("gpart")).count().collect()
+            n = int(sum(r["count"] for r in per_part))
+            present = {r["gpart"] for r in per_part}
+            if present:
+                self.write_grouped(table, out, dynamic=True)
+            for p in set(parts) - present:
+                stale = os.path.join(self.path(table), f"gpart={p}")
+                if os.path.isdir(stale):
+                    shutil.rmtree(stale)
+            if not self.exists(table):
+                # table fully emptied: a partitioned write of an empty
+                # frame leaves no parquet at all (unreadable dir) — keep a
+                # schema-only flat empty table so reads still work;
+                # append_grouped migrates it back to partitioned layout.
+                self.write(table, out.limit(0))
+        finally:
+            out.unpersist()
         return n
 
     def splice_groups(self, spark: SparkSession, table: str,

@@ -58,7 +58,8 @@ def ingest_pages(
 ) -> dict[str, int]:
     """One micro-batch: extract new pages once, append extraction side
     tables, re-assemble affected groups, splice graph tables."""
-    episodes, ext_nodes, ext_edges = run_extraction(pages_to_episodes(pages))
+    ext = run_extraction(pages_to_episodes(pages))
+    episodes, ext_nodes, ext_edges = ext.episodes, ext.ext_nodes, ext.ext_edges
 
     # idempotence / exactly-once per url: drop episodes already ingested
     # (stream restarts can redeliver a batch). A redelivered episode has
@@ -70,21 +71,28 @@ def ingest_pages(
         episodes = episodes.join(seen, "uuid", "left_anti")
     # eager localCheckpoint severs lineage BEFORE we append to
     # raw_episodes — otherwise the anti-join above re-reads the table we
-    # just appended this very batch to and filters everything out.
+    # just appended this very batch to and filters everything out. This
+    # job also materializes run_extraction's shared persist, so the two
+    # ext appends below read the cache directly — appending them without
+    # their own checkpoints saves 2 driver jobs per batch (jobs are wall
+    # time at point-update sizes, BASELINE fact 24).
     episodes = episodes.localCheckpoint()
     new_uuids = episodes.select(F.col("uuid").alias("episode_uuid"))
-    ext_nodes = ext_nodes.join(
-        F.broadcast(new_uuids), "episode_uuid", "left_semi").localCheckpoint()
-    ext_edges = ext_edges.join(
-        F.broadcast(new_uuids), "episode_uuid", "left_semi").localCheckpoint()
+    ext_nodes = ext_nodes.join(F.broadcast(new_uuids), "episode_uuid", "left_semi")
+    ext_edges = ext_edges.join(F.broadcast(new_uuids), "episode_uuid", "left_semi")
 
     n_new = episodes.count()
     if n_new == 0:
+        ext.cached.unpersist()
         return {"new_episodes": 0}
 
     store.append_grouped("raw_episodes", episodes, bucket_key="uuid")
     store.append_grouped("ext_nodes", ext_nodes, bucket_key="uuid")
     store.append_grouped("ext_edges", ext_edges, bucket_key="uuid")
+    # side tables are on disk now; reassembly reads them back, so the
+    # extraction cache is dead weight from here (and a long-running
+    # stream must not accumulate one dead cache per micro-batch)
+    ext.cached.unpersist()
 
     groups = episodes.select("group_id").distinct().localCheckpoint()
     counts = {"new_episodes": n_new}

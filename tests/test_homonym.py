@@ -1,0 +1,118 @@
+"""Homonym (same-name, different-entity) stress eval — VERDICT r3 item 8.
+
+The reference separates two "Michael Jordan"s with an LLM judge during
+dedup (node_operations.py:271-380: the duplicate decision reads entity
+summaries/context). This engine's deterministic scheme cannot: node
+uuid = sha1("node", group_id, norm_name) (operators/extract.py:68), so
+two distinct people with the same normalized name IN THE SAME GROUP
+merge by construction. These tests MEASURE the damage (conflation +
+the false T2 invalidation it induces) and pin the boundary conditions
+where it does NOT occur — different groups, or different surface names
+— so the trade-off documented in SURVEY §8 stays true as the code
+evolves.
+"""
+
+from datetime import datetime, timedelta
+
+import pandas as pd
+import pytest
+
+from kgspark.pipeline import build_graph
+from kgspark.schemas import PAGES
+
+NOW = datetime(2024, 6, 1)
+
+
+def _pages(spark, rows):
+    return spark.createDataFrame(
+        pd.DataFrame([
+            {"url": u, "warc_ts": ts, "html": None, "text": t, "lang": "en"}
+            for u, ts, t in rows
+        ]), PAGES)
+
+
+def _graph(spark, rows):
+    g = build_graph(_pages(spark, rows), now=NOW)
+    nodes = g["nodes"].collect()
+    edges = g["edges"].collect()
+    return nodes, edges
+
+
+def test_homonym_same_group_conflates_and_falsely_invalidates(spark):
+    """Two different people named Michael Jordan in ONE group: the
+    engine merges them into a single node, and T2's functional-predicate
+    pass then closes person A's employer when person B's (unrelated)
+    employer fact arrives — a FALSE invalidation. This is the measured
+    damage of the deterministic name-keyed uuid scheme; the reference's
+    LLM dedup would keep them apart."""
+    rows = [
+        ("https://example.com/a", NOW, "Michael Jordan works at Nike."),
+        ("https://example.com/b", NOW + timedelta(days=1),
+         "Michael Jordan works at Berkeley."),
+    ]
+    nodes, edges = _graph(spark, rows)
+    mj = [n for n in nodes if n["name"] == "Michael Jordan"]
+    assert len(mj) == 1  # conflation: one node for two real-world people
+    works = sorted(
+        (e for e in edges if e["name"] == "WORKS_AT"),
+        key=lambda e: e["valid_at"])
+    assert len(works) == 2
+    nike, berkeley = works
+    # the damage: Nike employment is CLOSED by the homonym's fact
+    assert nike["invalid_at"] is not None
+    assert berkeley["invalid_at"] is None
+
+
+def test_homonym_different_groups_stay_separate(spark):
+    """The blast radius is bounded by group_id: the same name in two
+    groups yields two nodes and no cross-group invalidation — at corpus
+    scale (group = domain) homonym damage is per-domain, never global."""
+    rows = [
+        ("https://nba.example/a", NOW, "Michael Jordan works at Nike."),
+        ("https://ml.example/b", NOW + timedelta(days=1),
+         "Michael Jordan works at Berkeley."),
+    ]
+    nodes, edges = _graph(spark, rows)
+    mj = [n for n in nodes if n["name"] == "Michael Jordan"]
+    assert len(mj) == 2
+    assert {n["group_id"] for n in mj} == {"nba.example", "ml.example"}
+    assert all(e["invalid_at"] is None for e in edges
+               if e["name"] == "WORKS_AT")
+
+
+def test_near_identical_variant_merges_by_design(spark):
+    """A middle initial does NOT keep entities apart: the MinHash-LSH
+    alias generator (dedup.alias_pairs generator 3) merges near-identical
+    spellings — char-3-gram Jaccard('michael jordan', 'michael i jordan')
+    = 0.76 ≥ 0.55 — exactly as it merges 'Acme Corp'/'Acme Corp.'. That
+    is the alias machinery working as intended (the reference's LLM would
+    usually also call these duplicates), so the homonym risk extends to
+    near-identical surface variants, not just byte-equal names. Pinned so
+    the documented trade-off (SURVEY §8) tracks the real threshold."""
+    rows = [
+        ("https://example.com/a", NOW, "Michael Jordan works at Nike."),
+        ("https://example.com/b", NOW + timedelta(days=1),
+         "Michael I. Jordan works at Berkeley."),
+    ]
+    nodes, edges = _graph(spark, rows)
+    jordan_nodes = [n for n in nodes if "Jordan" in n["name"]]
+    assert len(jordan_nodes) == 1  # merged into the first-seen spelling
+    assert jordan_nodes[0]["name"] == "Michael Jordan"
+
+
+def test_below_threshold_names_stay_separate(spark):
+    """The true boundary: merging stops at the near-dup threshold. A
+    shared surname with a different given name ('Katie Jordan', Jaccard
+    0.30 < 0.55, both multi-token so the surname generator — which only
+    matches single-token names — can't fire) yields two nodes and no
+    cross-entity invalidation."""
+    rows = [
+        ("https://example.com/a", NOW, "Michael Jordan works at Nike."),
+        ("https://example.com/b", NOW + timedelta(days=1),
+         "Katie Jordan works at Berkeley."),
+    ]
+    nodes, edges = _graph(spark, rows)
+    names = {n["name"] for n in nodes if "Jordan" in n["name"]}
+    assert names == {"Michael Jordan", "Katie Jordan"}
+    assert all(e["invalid_at"] is None for e in edges
+               if e["name"] == "WORKS_AT")

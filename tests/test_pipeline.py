@@ -133,7 +133,7 @@ def test_node_embed_stage_parallelism(spark):
     from kgspark.operators.extract import build_entity_nodes, pages_to_episodes, run_extraction
 
     pages = synth_pages(spark, n_docs=300, n_groups=8, seed=7)
-    _, ext_nodes, _ = run_extraction(pages_to_episodes(pages))
+    ext_nodes = run_extraction(pages_to_episodes(pages)).ext_nodes
     nodes0 = build_entity_nodes(ext_nodes)
     n_conf = int(spark.conf.get("spark.sql.shuffle.partitions"))
     assert nodes0.rdd.getNumPartitions() == n_conf

@@ -106,7 +106,8 @@ def build_index(graph: dict[str, DataFrame]) -> PostingsIndex:
 
 
 def refresh_postings_groups(spark: SparkSession, store, groups: DataFrame,
-                            parts: list[int] | None = None) -> int:
+                            parts: list[int] | None = None,
+                            group_list: list[str] | None = None) -> int:
     """Incrementally maintain the materialized ``postings`` / ``doc_stats``
     store tables for the given group_ids: rebuild the touched groups'
     postings from the (already-spliced) graph tables — scans pruned to
@@ -125,23 +126,29 @@ def refresh_postings_groups(spark: SparkSession, store, groups: DataFrame,
     Returns rows written into the touched postings partitions."""
     if parts is None:
         parts = store.group_parts(groups)
+    # group_list (point-update fast path): literal IN-filter pushed to
+    # the scan instead of a broadcast semi-join — saves one broadcast-
+    # exchange driver job per action on each of these lineages
+    keep_groups = (
+        (lambda df: df.where(F.col("group_id").isin(group_list)))
+        if group_list is not None
+        else (lambda df: df.join(F.broadcast(groups), "group_id", "left_semi")))
     kind_table = {"edge": "edges", "node": "nodes", "episode": "episodes",
                   "community": "communities"}
     graph = {}
     for table in kind_table.values():
         if store.exists(table):
-            graph[table] = store.read_parts(spark, table, parts).join(
-                F.broadcast(groups), "group_id", "left_semi")
+            graph[table] = keep_groups(store.read_parts(spark, table, parts))
     if not graph:
         return 0
     n = store.splice_groups(spark, "postings", build_postings(graph), groups,
-                            parts=parts)
+                            parts=parts, group_list=group_list)
     # doc_stats from the just-written postings files (pruned read), not
     # from the lazy build_postings frame — that would re-run tokenization
     stats = build_doc_stats(
-        store.read_parts(spark, "postings", parts).join(
-            F.broadcast(groups), "group_id", "left_semi"))
-    store.splice_groups(spark, "doc_stats", stats, groups, parts=parts)
+        keep_groups(store.read_parts(spark, "postings", parts)))
+    store.splice_groups(spark, "doc_stats", stats, groups, parts=parts,
+                        group_list=group_list)
     return n
 
 

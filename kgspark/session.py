@@ -65,6 +65,14 @@ SQL_CONFS: dict[str, str] = {
     "spark.sql.execution.arrow.pyspark.enabled": "true",
     "spark.sql.execution.arrow.maxRecordsPerBatch": "10000",
     "spark.sql.autoBroadcastJoinThreshold": str(64 * 1024 * 1024),
+    # Partition discovery below this many paths lists on the driver
+    # instead of launching a Spark job. The store's group-partitioned
+    # tables have n_gparts=64 subdirectories, just over the default of
+    # 32, so EVERY full-table read was paying one ~60 ms listing job —
+    # a dozen per point update. Driver-side listing of a few hundred
+    # dirs is microseconds on any FS; a real 100 TB deployment with
+    # thousands of partitions still gets the parallel path.
+    "spark.sql.sources.parallelPartitionDiscovery.threshold": "512",
 }
 
 

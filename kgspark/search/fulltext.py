@@ -107,7 +107,8 @@ def build_index(graph: dict[str, DataFrame]) -> PostingsIndex:
 
 def refresh_postings_groups(spark: SparkSession, store, groups: DataFrame,
                             parts: list[int] | None = None,
-                            group_list: list[str] | None = None) -> int:
+                            group_list: list[str] | None = None,
+                            graph_frames: dict | None = None) -> int:
     """Incrementally maintain the materialized ``postings`` / ``doc_stats``
     store tables for the given group_ids: rebuild the touched groups'
     postings from the (already-spliced) graph tables — scans pruned to
@@ -135,9 +136,20 @@ def refresh_postings_groups(spark: SparkSession, store, groups: DataFrame,
         else (lambda df: df.join(F.broadcast(groups), "group_id", "left_semi")))
     kind_table = {"edge": "edges", "node": "nodes", "episode": "episodes",
                   "community": "communities"}
+    # ``graph_frames``: the caller (reassemble_groups) already holds the
+    # rebuilt touched-group rows in memory — identical to what a pruned
+    # post-splice disk read would return — so passing them (a) skips the
+    # re-read jobs and (b) removes the data dependency on the graph-table
+    # splices, letting this refresh run CONCURRENTLY with them (postings/
+    # doc_stats are disjoint store tables). Kinds absent from the dict
+    # (communities — rebuilt on a separate lifecycle) still come from the
+    # pruned disk read, exactly as before.
+    graph_frames = graph_frames or {}
     graph = {}
     for table in kind_table.values():
-        if store.exists(table):
+        if table in graph_frames:
+            graph[table] = graph_frames[table]
+        elif store.exists(table):
             graph[table] = keep_groups(store.read_parts(spark, table, parts))
     if not graph:
         return 0

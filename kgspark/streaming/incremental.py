@@ -174,15 +174,54 @@ def reassemble_groups(
     all_edges = keep_groups(store.read_parts(spark, "ext_edges", parts))
     g = assemble_graph(all_eps, all_nodes, all_edges, embed_dim, now,
                        entity_types=entity_types)
-    counts = {t: store.splice_groups(spark, t, g[t], groups, parts=parts,
-                                     group_list=group_list)
-              for t in GRAPH_TABLES}
+    # Per-table lazy localCheckpoint + a thread pool over the 4
+    # independent table splices (plus the postings refresh as a 5th
+    # task, below). Two separate wins, both aimed at the point-update wall
+    # floor (BASELINE fact 24: after the 101→39 job cut, ~7.8 s/episode
+    # was DRIVER-side — Catalyst re-analysis of the deep assemble_graph
+    # lineage on every one of the ~10 splice actions, plus py4j turns):
+    # (a) the checkpoint truncates each table's plan to a leaf scan, so
+    #     the splice's 2 actions (count+present-parts, write) re-plan a
+    #     one-node tree instead of the full extract→dedup→invalidate
+    #     lineage — the shared expensive subtrees (nodes0, edges_deduped)
+    #     are already materialized eagerly inside assemble_graph, so the
+    #     checkpoint itself mostly reads cache;
+    # (b) the tables are disjoint outputs, so their checkpoint+splice
+    #     chains run concurrently — Catalyst planning happens JVM-side
+    #     (py4j releases the GIL on the socket), overlapping the serial
+    #     driver time that dominates at point-update sizes. Safe because
+    #     partitionOverwriteMode is a per-write OPTION (not session
+    #     conf) and each thread touches only its own table's files.
+    # On a real cluster the same shape holds: 4 concurrent Iceberg
+    # overwritePartitions commits on 4 different tables.
+    # eager=False: the plan is truncated to a LogicalRDD at call time
+    # (one deep Catalyst pass, inside the worker thread) but NO
+    # materialization job is submitted — the splice's fused
+    # count+present-parts action computes the checkpoint RDD and
+    # populates its cache in the same job, keeping the 39-job budget.
+    ckpt = {t: g[t].localCheckpoint(eager=False) for t in GRAPH_TABLES}
+
+    def _splice(t: str) -> tuple[str, int]:
+        return t, store.splice_groups(spark, t, ckpt[t], groups,
+                                      parts=parts, group_list=group_list)
+
     # keep the materialized fulltext index current (the reference's
     # Lucene indexes update on every save) — same splice machinery, so
-    # per-batch index IO is also O(touched partitions)
+    # per-batch index IO is also O(touched partitions). It rebuilds the
+    # touched groups' postings from the rebuilt frames handed to it
+    # in-memory (not from the spliced files — identical rows), so it has
+    # no dependency on the graph-table splices and runs as a 5th
+    # concurrent task against its own disjoint tables.
     from kgspark.search.fulltext import refresh_postings_groups
 
-    counts["postings"] = refresh_postings_groups(spark, store, groups,
-                                                 parts=parts,
-                                                 group_list=group_list)
+    def _postings() -> tuple[str, int]:
+        return "postings", refresh_postings_groups(
+            spark, store, groups, parts=parts, group_list=group_list,
+            graph_frames={t: ckpt[t] for t in ("episodes", "nodes", "edges")})
+
+    from concurrent.futures import ThreadPoolExecutor
+
+    tasks = [lambda t=t: _splice(t) for t in GRAPH_TABLES] + [_postings]
+    with ThreadPoolExecutor(max_workers=len(tasks)) as ex:
+        counts = dict(f.result() for f in [ex.submit(fn) for fn in tasks])
     return counts

@@ -51,29 +51,105 @@ def _triad_worker(core: int, barrier, out_q) -> None:
     out_q.put((core, 24.0 * N * REPS / dt / 1e9))
 
 
-def measure(k: int) -> dict:
+GATHER_N = 128 * 1024 * 1024 // 8  # 128 MB table: >> LLC, random access
+GATHER_SMALL_N = 256 * 1024 // 8   # 256 KB table: fits private L2
+GATHER_IDX = 8 * 1024 * 1024       # gathers per rep
+GATHER_REPS = 8
+
+
+def _gather_worker(core: int, n: int, barrier, out_q) -> None:
+    """Random 8-byte gathers over an n-element table — the access
+    pattern of a shuffle hash-probe / sort-merge pass, where latency
+    and miss-level parallelism (not streaming prefetch bandwidth)
+    bound throughput. Contrast with the triad: if the big-table gather
+    rate per core DROPS when a second pinned core runs the same loop
+    while the triad holds ~1.0, the shared memory system is
+    latency/MLP-contended for cache-missing access even though it has
+    spare streaming bandwidth."""
+    os.sched_setaffinity(0, {core})
+    rng = np.random.default_rng(core)
+    table = rng.random(n)
+    idx = rng.integers(0, n, size=GATHER_IDX)
+    table[idx].sum()  # touch pages before timing
+    barrier.wait()
+    t0 = time.perf_counter()
+    s = 0.0
+    for _ in range(GATHER_REPS):
+        s += table[idx].sum()
+    dt = time.perf_counter() - t0
+    out_q.put((core, GATHER_IDX * GATHER_REPS / dt / 1e6, s))
+
+
+def _run_pinned(k: int, target, args: tuple) -> list:
     ctx = mp.get_context("spawn")
     barrier = ctx.Barrier(k)
     out_q = ctx.Queue()
-    procs = [ctx.Process(target=_triad_worker, args=(i, barrier, out_q))
+    procs = [ctx.Process(target=target, args=(i, *args, barrier, out_q))
              for i in range(k)]
     for p in procs:
         p.start()
     per_core = [out_q.get() for _ in procs]
     for p in procs:
         p.join()
+    return per_core
+
+
+def measure(k: int) -> dict:
+    per_core = _run_pinned(k, _triad_worker, ())
     agg = sum(bw for _, bw in per_core)
     return {"cores": k, "aggregate_gb_s": round(agg, 2),
             "per_core_gb_s": round(agg / k, 2)}
 
 
+def measure_gather(k: int, n: int) -> dict:
+    per_core = _run_pinned(k, _gather_worker, (n,))
+    agg = sum(r for _, r, _ in per_core)
+    return {"cores": k, "aggregate_mgathers_s": round(agg, 1),
+            "per_core_mgathers_s": round(agg / k, 1)}
+
+
+def main_gather(cores: list[int], out_path: str) -> None:
+    results = []
+    for label, n in (("big_128mb", GATHER_N), ("small_256kb", GATHER_SMALL_N)):
+        pts = [measure_gather(k, n) for k in cores]
+        base = pts[0]["aggregate_mgathers_s"] / pts[0]["cores"]
+        for r in pts:
+            r["scaling_efficiency_vs_1core"] = round(
+                r["aggregate_mgathers_s"] / (r["cores"] * base), 3)
+        results.append({"table": label, "table_mb": round(n * 8 / 1e6, 2),
+                        "points": pts})
+    summary = {
+        "metric": "random_gather_throughput",
+        "unit": "Mgathers/s (8-byte random reads, numpy fancy-index)",
+        "results": results,
+        "interpretation": (
+            "shuffle hash-probe/sort access pattern: scaling_efficiency "
+            "< 1 on the big (LLC-missing) table with ~1.0 on the small "
+            "(cache-resident) table and ~1.0 STREAM triad at the same "
+            "core count = the shared memory system is latency/MLP-"
+            "contended for cache-missing access despite spare streaming "
+            "bandwidth; this, not DRAM bandwidth, is the single-box "
+            "ceiling for shuffle-heavy stages at large working sets. A "
+            "real K-machine cluster multiplies memory systems and does "
+            "not see it."),
+    }
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    with open(os.path.join(repo, out_path), "w") as f:
+        json.dump(summary, f, indent=2)
+    print(json.dumps(summary))
+
+
 def main() -> None:
     args = [a for a in sys.argv[1:] if not a.startswith("--")]
-    out_path = "BENCH_BANDWIDTH.json"
+    gather = "--gather" in sys.argv
+    out_path = "BENCH_MEMLATENCY.json" if gather else "BENCH_BANDWIDTH.json"
     if "--out" in sys.argv:
         out_path = sys.argv[sys.argv.index("--out") + 1]
-    cores = [int(a) for a in args] or [1, 2, 4, 8]
-    results = [measure(k) for k in sorted(set(cores))]
+    cores = sorted({int(a) for a in args}) or [1, 2, 4, 8]
+    if gather:
+        main_gather(cores, out_path)
+        return
+    results = [measure(k) for k in cores]
     base = results[0]["aggregate_gb_s"] / results[0]["cores"]
     for r in results:
         r["bw_scaling_efficiency_vs_1core"] = round(

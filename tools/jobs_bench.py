@@ -38,10 +38,23 @@ def measure(spark, n_episodes: int = 5, base_docs: int = 2000) -> dict:
     kg.add_pages(pages, now=NOW)
 
     sc = spark.sparkContext
+
+    def _job_id_mark(tag: str) -> int:
+        """Submit a sentinel 1-task job and return its job id. Job ids
+        are assigned monotonically across ALL driver threads, so the
+        bracket (mark .. mark) counts every job in between — including
+        the splice jobs the incremental path now submits from its own
+        thread pool, which setJobGroup (thread-local under PySpark's
+        pinned-thread mode) would miss."""
+        sc.setJobGroup(tag, "jobs_bench sentinel")
+        spark.range(1).count()
+        sc.setJobGroup(None, None)
+        ids = sc.statusTracker().getJobIdsForGroup(tag)
+        return max(ids)
+
     jobs, walls = [], []
     for i in range(n_episodes):
-        group = f"add-episode-{i}"
-        sc.setJobGroup(group, "jobs_bench point update")
+        before = _job_id_mark(f"mark-pre-{i}")
         t0 = time.perf_counter()
         kg.add_episode(
             name=f"probe-{i}",
@@ -51,8 +64,8 @@ def measure(spark, n_episodes: int = 5, base_docs: int = 2000) -> dict:
             group_id="probe.example",
         )
         walls.append(round(time.perf_counter() - t0, 3))
-        sc.setJobGroup(None, None)
-        jobs.append(len(sc.statusTracker().getJobIdsForGroup(group)))
+        after = _job_id_mark(f"mark-post-{i}")
+        jobs.append(after - before - 1)
     return {
         "jobs_per_episode": jobs,
         "jobs_median": int(statistics.median(jobs)),

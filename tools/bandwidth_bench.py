@@ -94,18 +94,38 @@ def _run_pinned(k: int, target, args: tuple) -> list:
     return per_core
 
 
+# Each point is best-of-TRIALS: a hardware-ceiling measurement wants the
+# interference-free maximum, and single-shot points on this shared-kernel
+# sandbox produced non-physical non-monotone curves (a 2-core gather
+# point 2× below the 4-core one) that a repeat removed. Gather (latency-
+# bound) is far noisier than triad (bandwidth-bound) on this virtualized
+# host — adjacent-vs-spread core-pair probes showed the same pair
+# swinging 23.8→75.4 Mgathers/s across runs with no topology effect
+# (no SMT: 32 physical cores, 1 NUMA node) — so the ceiling needs more
+# trials than the triad does.
+TRIALS = int(os.environ.get("BW_TRIALS", "5"))
+
+
 def measure(k: int) -> dict:
-    per_core = _run_pinned(k, _triad_worker, ())
-    agg = sum(bw for _, bw in per_core)
+    aggs = []
+    for _ in range(TRIALS):
+        per_core = _run_pinned(k, _triad_worker, ())
+        aggs.append(sum(bw for _, bw in per_core))
+    agg = max(aggs)
     return {"cores": k, "aggregate_gb_s": round(agg, 2),
-            "per_core_gb_s": round(agg / k, 2)}
+            "per_core_gb_s": round(agg / k, 2),
+            "trials_gb_s": [round(a, 2) for a in aggs]}
 
 
 def measure_gather(k: int, n: int) -> dict:
-    per_core = _run_pinned(k, _gather_worker, (n,))
-    agg = sum(r for _, r, _ in per_core)
+    aggs = []
+    for _ in range(TRIALS):
+        per_core = _run_pinned(k, _gather_worker, (n,))
+        aggs.append(sum(r for _, r, _ in per_core))
+    agg = max(aggs)
     return {"cores": k, "aggregate_mgathers_s": round(agg, 1),
-            "per_core_mgathers_s": round(agg / k, 1)}
+            "per_core_mgathers_s": round(agg / k, 1),
+            "trials_mgathers_s": [round(a, 1) for a in aggs]}
 
 
 def main_gather(cores: list[int], out_path: str) -> None:
@@ -140,11 +160,14 @@ def main_gather(cores: list[int], out_path: str) -> None:
 
 
 def main() -> None:
-    args = [a for a in sys.argv[1:] if not a.startswith("--")]
-    gather = "--gather" in sys.argv
+    argv = sys.argv[1:]
+    gather = "--gather" in argv
     out_path = "BENCH_MEMLATENCY.json" if gather else "BENCH_BANDWIDTH.json"
-    if "--out" in sys.argv:
-        out_path = sys.argv[sys.argv.index("--out") + 1]
+    if "--out" in argv:
+        i = argv.index("--out")
+        out_path = argv[i + 1]
+        del argv[i:i + 2]
+    args = [a for a in argv if not a.startswith("--")]
     cores = sorted({int(a) for a in args}) or [1, 2, 4, 8]
     if gather:
         main_gather(cores, out_path)

@@ -5,14 +5,16 @@ frame-sample as Arrow-batched `mapInPandas` stages.
 Decode support is format-sniffed from magic bytes:
 - REAL decoders (no external codec libs needed): WAV (stdlib ``wave``),
   PNG (stdlib ``zlib`` inflate + numpy unfiltering), GIF (pure-Python
-  LZW + numpy palette), PPM/PGM P6/P5 and uncompressed 24-bit BMP
+  LZW + numpy palette), baseline JPEG (pure-numpy Huffman + IDCT,
+  `jpegcodec.py`), PPM/PGM P6/P5 and uncompressed 24-bit BMP
   (pure numpy) — these run end-to-end on real bytes in tests.
-- The remaining codec formats (JPEG/MP3/...) have no decoder in this
-  container (no PIL/cv2/ffmpeg — their entropy coders are a genuine
+- The remaining codec format (MP3/AAC/... audio) has no decoder in
+  this container (no ffmpeg — perceptual audio coding is a genuine
   codec barrier): with ``FAKE_DECODE`` a deterministic fake (seeded
   from the content hash) keeps the Spark plumbing testable; without it
-  they raise ``NotImplementedError`` at the documented plug point
-  (`_decode_image_bytes` / `_decode_audio_bytes`).
+  it raises ``NotImplementedError`` at the documented plug point
+  (`_decode_audio_bytes`). Progressive JPEG likewise falls to the
+  fake/raise path (baseline sequential decodes for real).
 """
 
 from __future__ import annotations
@@ -30,7 +32,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-FAKE_DECODE = True  # applies ONLY to the codec formats left (JPEG/MP3)
+FAKE_DECODE = True  # applies ONLY to compressed audio (MP3) + progressive JPEG
 
 IMAGE_META = T.StructType([
     T.StructField("width", T.IntegerType()),
@@ -305,10 +307,9 @@ def _decode_gif_bytes(content: bytes) -> np.ndarray:
 
 def _decode_image_bytes(content: bytes) -> np.ndarray:
     """Format-sniffing image decode → uint8 grayscale 2-D array.
-    PNG/GIF/PPM/PGM/BMP decode for real (stdlib + numpy only); the
-    remaining codec formats (JPEG — DCT entropy coding needs a real
-    codec lib) hit the plug point below — replace with PIL/cv2 on a
-    real cluster."""
+    PNG/GIF/baseline-JPEG/PPM/PGM/BMP decode for real (stdlib + numpy
+    only); progressive JPEG hits the plug point below — replace with
+    PIL/cv2 on a real cluster for throughput + full format coverage."""
     if content[:8] == b"\x89PNG\r\n\x1a\n":
         return _decode_png_bytes(content)
     if content[:4] == b"GIF8":
@@ -317,6 +318,14 @@ def _decode_image_bytes(content: bytes) -> np.ndarray:
         return _decode_pnm_bytes(content)
     if content[:2] == b"BM":
         return _decode_bmp_bytes(content)
+    if content[:2] == b"\xff\xd8":
+        from kgspark.datapipe.jpegcodec import decode_jpeg
+        try:
+            return decode_jpeg(content)
+        except ValueError:
+            if not FAKE_DECODE:  # progressive / arithmetic / corrupt
+                raise
+            return _fake_pixels(content)
     if FAKE_DECODE:
         return _fake_pixels(content)
     raise NotImplementedError("plug a real image codec here (PIL/cv2)")

@@ -26,9 +26,9 @@ Routes (reference parity, same paths/semantics):
 Single-threaded ``HTTPServer`` by design: one SparkSession serves one
 driver; concurrent query execution belongs to Spark's scheduler, not to
 HTTP worker threads (the reference serializes ingest through its queue
-for the same reason). An MCP adapter would wrap these same engine calls;
-the MCP *protocol* dependencies are not in this container, so that layer
-stays the one documented omission.
+for the same reason). The MCP adapter (``kgspark/mcp.py``, stdio
+JSON-RPC — protocol hand-rolled, no SDK dependency) wraps these same
+engine calls.
 """
 
 from __future__ import annotations

@@ -117,6 +117,21 @@ def main() -> None:
 
     runs: dict[str, list[float]] = {}
     pipe_runs = []
+    # One UNTIMED warm-up build before the timed repeats (only when
+    # repeating — the scaling harness runs PIPE_REPEATS=1 and wants the
+    # true end-to-end wall including JIT). First-build wall at sf0.01
+    # measured 53.9s vs 11.8s steady on identical code: whole-stage
+    # codegen JIT + page-cache fill, a fixed cost every long-lived
+    # cluster pays once. It is still REPORTED (warmup_s) so nothing is
+    # hidden; medians/spread cover the post-warm runs only.
+    warmup_s = None
+    if PIPE_REPEATS > 1:
+        t0 = time.perf_counter()
+        g = build_graph(pages, now=datetime(2024, 6, 1))
+        g["edges"].count()
+        g["nodes"].count()
+        warmup_s = round(time.perf_counter() - t0, 3)
+        spark.catalog.clearCache()
     gc_before = _gc_ms()
     n_edges = n_nodes = 0
     for _ in range(PIPE_REPEATS):
@@ -149,6 +164,8 @@ def main() -> None:
     for name in (BENCH_QUERIES if qs else []):
         fn = qs[name]
         vals = []
+        if REPEATS > 1:  # untimed warm-up, same rationale as the pipeline's
+            fn(spark, SF_DIR).count()
         for _ in range(REPEATS):
             t0 = time.perf_counter()
             df = fn(spark, SF_DIR)
@@ -171,6 +188,9 @@ def main() -> None:
         # co-tenant run is visible as [min, max], not hidden in a median
         "spread": {k: [min(v), max(v)] for k, v in runs.items()},
         "repeats": {"queries": REPEATS, "pipeline": PIPE_REPEATS},
+        # untimed first build (JIT + page-cache fill), excluded from the
+        # median/spread above but disclosed here; null in single-run mode
+        "pipeline_warmup_s": warmup_s,
         "sf": _SF,
         "pipeline": {
             "docs": PIPE_DOCS,

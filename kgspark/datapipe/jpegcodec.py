@@ -12,12 +12,15 @@ multimodal requirement, mirroring what a real crawl pass needs (JPEG is
 the dominant lossy web image format).
 
 Scope (documented, spec-cited):
-- DECODE: baseline sequential DCT (SOF0/SOF1), 8-bit samples, 1 or 3
-  components, any sampling factors up to 4:2:0, generic DQT/DHT table
-  parsing (so files from ANY conformant encoder decode, not just ours),
-  restart markers (DRI/RSTn), byte-stuffing. Progressive (SOF2) and
-  arithmetic coding raise ``ValueError`` — they are different entropy
-  layouts, not baseline.
+- DECODE: baseline sequential DCT (SOF0/SOF1) AND progressive DCT
+  (SOF2, T.81 G.1.2: spectral selection + successive approximation —
+  DC/AC first scans, DC bit-refinement, AC refinement with EOB runs and
+  buffered correction bits, interleaved DC / non-interleaved AC scan
+  geometry), 8-bit samples, 1 or 3 components, any sampling factors up
+  to 4:2:0, generic DQT/DHT table parsing (so files from ANY conformant
+  encoder decode, not just ours), restart markers (DRI/RSTn),
+  byte-stuffing. Arithmetic coding and hierarchical mode raise
+  ``ValueError``.
 - ENCODE (test-support, like multimodal.encode_png/encode_gif): SOI /
   JFIF APP0 / DQT / SOF0 / DHT / [DRI] / SOS / EOI with grayscale,
   4:4:4 or 4:2:0 color. Huffman tables are generated canonically from
@@ -375,15 +378,19 @@ def encode_jpeg(img: np.ndarray, quality: int = 95,
 # --------------------------------------------------------------- decode
 
 def decode_jpeg(content: bytes) -> np.ndarray:
-    """Baseline JPEG bytes -> uint8 grayscale (luma) 2-D array, matching
-    the other `_decode_*_bytes` contracts in multimodal.py. Generic
-    DQT/DHT parsing; SOF0/SOF1 only (progressive/arithmetic raise)."""
+    """Baseline or progressive JPEG bytes -> uint8 grayscale (luma) 2-D
+    array, matching the other `_decode_*_bytes` contracts in
+    multimodal.py. Generic DQT/DHT parsing; SOF0/SOF1 decode in one
+    pass at first SOS, SOF2 accumulates coefficient bits across all
+    scans and reconstructs at EOI (T.81 G.1.2)."""
     if content[:2] != b"\xff\xd8":
         raise ValueError("not a JPEG (missing SOI)")
     pos = 2
     qtables: dict[int, np.ndarray] = {}
     htables: dict[tuple[int, int], HuffTable] = {}
     frame = None            # (h, w, comps) ; comps = [(cid, sh, sv, tq)]
+    progressive = False
+    store: dict[int, np.ndarray] | None = None  # cid -> (bv, bh, 64) zigzag
     restart_interval = 0
     n = len(content)
 
@@ -393,6 +400,8 @@ def decode_jpeg(content: bytes) -> np.ndarray:
         marker = content[pos + 1]
         pos += 2
         if marker == 0xD9:                                  # EOI
+            if progressive and store is not None:
+                return _reconstruct_progressive(frame, store, qtables)
             raise ValueError("JPEG has no scan data")
         if marker in (0x01,) or 0xD0 <= marker <= 0xD7:     # TEM/RSTn: bare
             continue
@@ -421,7 +430,7 @@ def decode_jpeg(content: bytes) -> np.ndarray:
                 vals = list(body[i + 17:i + 17 + nv])
                 htables[(tc, th)] = HuffTable(bits, vals)
                 i += 17 + nv
-        elif marker in (0xC0, 0xC1):                        # SOF0/1 baseline
+        elif marker in (0xC0, 0xC1, 0xC2):                  # SOF0/1/2
             prec, fh, fw, nc = struct.unpack_from(">BHHB", body, 0)
             if prec != 8:
                 raise ValueError("only 8-bit JPEG supported")
@@ -430,10 +439,12 @@ def decode_jpeg(content: bytes) -> np.ndarray:
                 cid, hv, tq = body[6 + 3 * c:9 + 3 * c]
                 comps.append((cid, hv >> 4, hv & 0xF, tq))
             frame = (fh, fw, comps)
-        elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9,
+            progressive = marker == 0xC2
+        elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9,
                         0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
-            raise ValueError("only baseline sequential JPEG (SOF0/SOF1) "
-                             "is supported (progressive/arithmetic are not)")
+            raise ValueError("only baseline/progressive Huffman JPEG "
+                             "(SOF0/SOF1/SOF2) is supported "
+                             "(lossless/arithmetic/hierarchical are not)")
         elif marker == 0xDD:                                # DRI
             (restart_interval,) = struct.unpack_from(">H", body, 0)
         elif marker == 0xDA:                                # SOS
@@ -444,11 +455,20 @@ def decode_jpeg(content: bytes) -> np.ndarray:
             for c in range(ns):
                 cid, tt = body[1 + 2 * c:3 + 2 * c]
                 scan_sel.append((cid, tt >> 4, tt & 0xF))
-            return _decode_scan(content, pos + seglen, frame, scan_sel,
-                                qtables, htables, restart_interval)
+            if not progressive:
+                return _decode_scan(content, pos + seglen, frame, scan_sel,
+                                    qtables, htables, restart_interval)
+            ss, se, a = body[1 + 2 * ns:4 + 2 * ns]
+            if store is None:
+                store = _alloc_store(frame)
+            pos = _decode_progressive_scan(
+                content, pos + seglen, frame, scan_sel, ss, se,
+                a >> 4, a & 0xF, store, htables, restart_interval)
+            continue
         # APPn / COM / everything else: skip
         pos += seglen
-    raise ValueError("JPEG truncated before SOS")
+    raise ValueError("JPEG truncated before SOS"
+                     if store is None else "progressive JPEG missing EOI")
 
 
 def _decode_scan(data: bytes, pos: int, frame, scan_sel, qtables, htables,
@@ -529,3 +549,461 @@ def _decode_scan(data: bytes, pos: int, frame, scan_sel, qtables, htables,
     luma_cid = comps[0][0]
     luma = planes[luma_cid][:fh, :fw]
     return np.clip(np.round(luma), 0, 255).astype(np.uint8)
+
+
+# -------------------------------------------------- progressive decode
+
+def _frame_geometry(frame):
+    """MCU grid + per-component block extents. Returns (mcux, mcuy,
+    hmax, vmax, per_cid) with per_cid[cid] = (sh, sv, tq, bw, bh) where
+    (bw, bh) is the NON-interleaved block count (T.81 A.2.2: blocks
+    covering ceil(dim * s / smax) samples — no MCU padding)."""
+    fh, fw, comps = frame
+    hmax = max(sh for _, sh, _, _ in comps)
+    vmax = max(sv for _, _, sv, _ in comps)
+    mcux = (fw + 8 * hmax - 1) // (8 * hmax)
+    mcuy = (fh + 8 * vmax - 1) // (8 * vmax)
+    per = {}
+    for cid, sh, sv, tq in comps:
+        cw = (fw * sh + hmax - 1) // hmax
+        ch = (fh * sv + vmax - 1) // vmax
+        per[cid] = (sh, sv, tq, (cw + 7) // 8, (ch + 7) // 8)
+    return mcux, mcuy, hmax, vmax, per
+
+
+def _alloc_store(frame) -> dict[int, np.ndarray]:
+    """Zig-zag-order coefficient accumulator per component, sized to the
+    full interleaved MCU grid (DC scans cover the padding blocks)."""
+    mcux, mcuy, _, _, per = _frame_geometry(frame)
+    return {cid: np.zeros((mcuy * sv, mcux * sh, 64), dtype=np.int64)
+            for cid, (sh, sv, _, _, _) in per.items()}
+
+
+def _refine_nonzero(coef_row: np.ndarray, k: int, br: BitReader,
+                    p1: int, m1: int) -> None:
+    """AC refinement correction bit for an already-nonzero coefficient
+    (T.81 G.1.2.3 / CCITT correction procedure)."""
+    if br.read(1) and (coef_row[k] & p1) == 0:
+        coef_row[k] += p1 if coef_row[k] >= 0 else m1
+
+
+def _decode_progressive_scan(data: bytes, pos: int, frame, scan_sel,
+                             ss: int, se: int, ah: int, al: int,
+                             store, htables, restart_interval: int) -> int:
+    """Consume one progressive scan's entropy segment, updating `store`
+    in place; returns the byte position of the next marker. DC scans
+    (Ss=0) may be interleaved; AC scans are single-component by spec."""
+    mcux, mcuy, _, _, per = _frame_geometry(frame)
+    br = BitReader(data, pos)
+    dc_scan = ss == 0
+    if dc_scan and se != 0:
+        raise ValueError("progressive DC scan must have Se=0")
+    if not dc_scan and len(scan_sel) != 1:
+        raise ValueError("progressive AC scan must be single-component")
+    interleaved = dc_scan and len(scan_sel) > 1
+    p1, m1 = 1 << al, -(1 << al)
+
+    if interleaved:
+        units = mcuy * mcux
+    else:
+        cid = scan_sel[0][0]
+        bw, bh = per[cid][3], per[cid][4]
+        units = bw * bh
+
+    preds = {cid: 0 for cid, *_ in scan_sel}
+    eobrun = 0
+    since_rst = 0
+    rst_n = 0
+    try:
+        for u in range(units):
+            if restart_interval and since_rst == restart_interval:
+                br.sync_restart(rst_n)
+                rst_n += 1
+                since_rst = 0
+                preds = {c: 0 for c in preds}
+                eobrun = 0
+            if dc_scan:
+                blocks = []           # (cid, by, bx) coded this unit
+                if interleaved:
+                    my, mx = divmod(u, mcux)
+                    for cid, td, _ in scan_sel:
+                        sh, sv = per[cid][0], per[cid][1]
+                        blocks += [(cid, td, my * sv + by, mx * sh + bx)
+                                   for by in range(sv) for bx in range(sh)]
+                else:
+                    cid, td, _ = scan_sel[0]
+                    blocks = [(cid, td, u // per[cid][3], u % per[cid][3])]
+                for cid, td, by, bx in blocks:
+                    row = store[cid][by, bx]
+                    if ah == 0:                      # DC first (G.1.2.1)
+                        s = br.read_huff(htables[(0, td)])
+                        preds[cid] += _extend(br.read(s), s) if s else 0
+                        row[0] = preds[cid] << al
+                    elif br.read(1):                 # DC refinement bit
+                        row[0] |= p1
+            else:
+                cid, _, ta = scan_sel[0]
+                bw = per[cid][3]
+                row = store[cid][u // bw, u % bw]
+                tbl = htables[(1, ta)]
+                if ah == 0:                          # AC first (G.1.2.2)
+                    if eobrun > 0:
+                        eobrun -= 1
+                    else:
+                        k = ss
+                        while k <= se:
+                            rs = br.read_huff(tbl)
+                            r, s = rs >> 4, rs & 0xF
+                            if s == 0:
+                                if r != 15:          # EOBn
+                                    eobrun = (1 << r) - 1
+                                    if r:
+                                        eobrun += br.read(r)
+                                    break
+                                k += 16              # ZRL
+                                continue
+                            k += r
+                            if k > se:
+                                raise ValueError("AC index overrun")
+                            row[k] = _extend(br.read(s), s) << al
+                            k += 1
+                else:                                # AC refine (G.1.2.3)
+                    k = ss
+                    if eobrun == 0:
+                        while k <= se:
+                            rs = br.read_huff(tbl)
+                            r, s = rs >> 4, rs & 0xF
+                            if s == 0:
+                                if r != 15:          # EOBn: rest is below
+                                    eobrun = 1 << r
+                                    if r:
+                                        eobrun += br.read(r)
+                                    break
+                                s = 0                # ZRL: 16 zero-history
+                            elif s != 1:
+                                raise ValueError("bad AC refinement size")
+                            else:
+                                s = p1 if br.read(1) else m1
+                            while k <= se:           # advance r zero-history
+                                if row[k] != 0:
+                                    _refine_nonzero(row, k, br, p1, m1)
+                                else:
+                                    r -= 1
+                                    if r < 0:
+                                        break
+                                k += 1
+                            if s and k <= se:
+                                row[k] = s
+                            k += 1
+                    if eobrun > 0:                   # finish block: bits only
+                        while k <= se:
+                            if row[k] != 0:
+                                _refine_nonzero(row, k, br, p1, m1)
+                            k += 1
+                        eobrun -= 1
+            since_rst += 1
+    except EOFError:
+        raise ValueError("progressive scan truncated") from None
+
+    # resync to next marker (encoder byte-aligns before markers; skip
+    # any pad byte the bit reader stopped inside)
+    p = br.pos
+    while p + 1 < len(data) and not (
+            data[p] == 0xFF and data[p + 1] not in (0x00,)):
+        p += 1
+    return p
+
+
+def _reconstruct_progressive(frame, store, qtables) -> np.ndarray:
+    """Dequantize + IDCT the LUMA component of the accumulated
+    coefficient store (output contract is grayscale, so chroma blocks
+    are entropy-consumed but never inverse-transformed)."""
+    fh, fw, comps = frame
+    _, _, hmax, vmax, per = _frame_geometry(frame)
+    cid, sh, sv, tq = comps[0]
+    q = qtables[tq]
+    zz = store[cid]                       # (bv, bh, 64) zigzag order
+    blocks = zz[..., UNZIGZAG].reshape(*zz.shape[:2], 8, 8) * q
+    pix = np.matmul(DCT_A.T, np.matmul(blocks.astype(np.float64),
+                                       DCT_A)) + 128.0
+    bv, bh = blocks.shape[:2]
+    plane = pix.transpose(0, 2, 1, 3).reshape(bv * 8, bh * 8)
+    if (sh, sv) != (hmax, vmax):
+        raise ValueError("luma must have the max sampling factor")
+    return np.clip(np.round(plane[:fh, :fw]), 0, 255).astype(np.uint8)
+
+
+# ------------------------------------------------- progressive encode
+
+# AC table for progressive scans additionally needs the EOBn symbols
+# (r << 4 for r = 1..14, T.81 G.1.2.2); EOB0 = 0x00 is already present.
+PROG_AC_SYMBOLS = sorted(set(AC_SYMBOLS) | {r << 4 for r in range(15)})
+ENC_PROG_AC_TABLE = _flat_table(PROG_AC_SYMBOLS)
+
+
+class _ScanWriter(BitWriter):
+    """BitWriter plus the EOB-run + buffered-correction-bit state that
+    progressive AC scans thread across blocks (jpeg spec G.1.2.2-3)."""
+
+    def __init__(self) -> None:
+        super().__init__()
+        self.eobrun = 0
+        self.pending: list[int] = []      # correction bits awaiting flush
+
+    def flush_eobrun(self) -> None:
+        if self.eobrun > 0:
+            r = self.eobrun.bit_length() - 1
+            code, ln = ENC_PROG_AC_TABLE.enc[r << 4]
+            self.write(code, ln)
+            if r:
+                self.write(self.eobrun - (1 << r), r)
+            self.eobrun = 0
+        for b in self.pending:
+            self.write(b, 1)
+        self.pending = []
+
+
+def _encode_dc_scan(sw: _ScanWriter, coefs, order, al: int, ah: int,
+                    n_comps: int) -> None:
+    preds = [0] * n_comps
+    for ci, by, bx in order:
+        dc = int(coefs[ci][by, bx, 0])
+        if ah == 0:                                  # first scan
+            t = dc >> al
+            diff = t - preds[ci]
+            preds[ci] = t
+            s = _category(diff)
+            code, ln = ENC_DC_TABLE.enc[s]
+            sw.write(code, ln)
+            if s:
+                sw.write(diff if diff >= 0 else diff + (1 << s) - 1, s)
+        else:                                        # refinement bit
+            sw.write((dc >> al) & 1, 1)
+
+
+def _encode_ac_first_block(sw: _ScanWriter, zz: np.ndarray,
+                           ss: int, se: int, al: int) -> None:
+    run = 0
+    wrote = False
+    for k in range(ss, se + 1):
+        v = int(zz[k])
+        t = -((-v) >> al) if v < 0 else v >> al
+        if t == 0:
+            run += 1
+            continue
+        sw.flush_eobrun()
+        while run > 15:
+            code, ln = ENC_PROG_AC_TABLE.enc[0xF0]
+            sw.write(code, ln)
+            run -= 16
+        s = _category(t)
+        code, ln = ENC_PROG_AC_TABLE.enc[(run << 4) | s]
+        sw.write(code, ln)
+        sw.write(t if t >= 0 else t + (1 << s) - 1, s)
+        run = 0
+        wrote = True
+    if run > 0 or not wrote:
+        sw.eobrun += 1
+        if sw.eobrun == 0x7FFF:
+            sw.flush_eobrun()
+
+
+def _encode_ac_refine_block(sw: _ScanWriter, zz: np.ndarray,
+                            ss: int, se: int, al: int) -> None:
+    absv = [abs(int(zz[k])) >> al for k in range(ss, se + 1)]
+    eob = ss - 1                          # last newly-significant index
+    for i, t in enumerate(absv):
+        if t == 1:
+            eob = ss + i
+    run = 0
+    bits: list[int] = []                  # this block's buffered bits
+    for i, t in enumerate(absv):
+        k = ss + i
+        if t == 0:
+            run += 1
+            continue
+        while run > 15 and k <= eob:
+            sw.flush_eobrun()
+            code, ln = ENC_PROG_AC_TABLE.enc[0xF0]
+            sw.write(code, ln)
+            run -= 16
+            for b in bits:
+                sw.write(b, 1)
+            bits = []
+        if t > 1:                         # history coefficient: buffer bit
+            bits.append(t & 1)
+            continue
+        sw.flush_eobrun()                 # newly significant (t == 1)
+        code, ln = ENC_PROG_AC_TABLE.enc[(run << 4) | 1]
+        sw.write(code, ln)
+        sw.write(0 if int(zz[k]) < 0 else 1, 1)
+        for b in bits:
+            sw.write(b, 1)
+        bits = []
+        run = 0
+    if run > 0 or bits:
+        sw.eobrun += 1
+        sw.pending += bits
+        if sw.eobrun == 0x7FFF:
+            sw.flush_eobrun()
+
+
+def encode_jpeg_progressive(img: np.ndarray, quality: int = 95,
+                            subsampling: str = "444") -> bytes:
+    """uint8 array -> progressive (SOF2) JFIF bytes via the standard
+    spectral-selection + successive-approximation scan script (DC first
+    at Al=1, AC bands 1-5 / 6-63 at Al=2, AC refine to Al=1, DC refine,
+    AC refine to Al=0) — exercises every progressive decode path.
+    Quantized coefficients are identical to :func:`encode_jpeg`'s, so
+    decode(progressive) == decode(baseline) exactly."""
+    base = encode_jpeg(np.asarray(img), quality=quality,
+                       subsampling=subsampling)
+    # reuse the tested baseline path to produce the coefficient store:
+    # re-encode = decode our own baseline bytes down to coefficients
+    coefs, frame, q = _coefficients_from_baseline(base)
+    fh, fw, comps = frame
+    mcux, mcuy, _, _, per = _frame_geometry(frame)
+
+    out = bytearray(b"\xff\xd8")
+    out += _seg(0xE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
+    out += _seg(0xDB, bytes([0]) + bytes(int(x) for x in q.flatten()[ZIGZAG]))
+    sof = bytearray(struct.pack(">BHHB", 8, fh, fw, len(comps)))
+    for cid, sh, sv, tq in comps:
+        sof += bytes((cid, sh << 4 | sv, tq))
+    out += _seg(0xC2, bytes(sof))
+    out += _seg(0xC4, _dht_payload(0, 0, ENC_DC_TABLE))
+    out += _seg(0xC4, _dht_payload(1, 0, ENC_PROG_AC_TABLE))
+
+    cindex = {cid: i for i, (cid, *_ ) in enumerate(comps)}
+    # interleaved MCU order over every (padding-included) block
+    dc_order = []
+    for my in range(mcuy):
+        for mx in range(mcux):
+            for cid, sh, sv, _ in comps:
+                dc_order += [(cindex[cid], my * sv + by, mx * sh + bx)
+                             for by in range(sv) for bx in range(sh)]
+
+    def sos(scan_comps: list[int], ss: int, se: int, ah: int, al: int,
+            body_bits: bytes) -> None:
+        hdr = bytearray([len(scan_comps)])
+        for cid in scan_comps:
+            hdr += bytes((cid, 0x00))
+        hdr += bytes((ss, se, ah << 4 | al))
+        out.extend(_seg(0xDA, bytes(hdr)))
+        out.extend(body_bits)
+
+    def dc_bits(ah: int, al: int) -> bytes:
+        sw = _ScanWriter()
+        _encode_dc_scan(sw, coefs, dc_order, al, ah, len(comps))
+        sw.pad_align()
+        return bytes(sw.out)
+
+    def ac_bits(ci: int, ss: int, se: int, ah: int, al: int) -> bytes:
+        cid, sh, sv, _ = comps[ci]
+        bw, bh = per[cid][3], per[cid][4]
+        sw = _ScanWriter()
+        for by in range(bh):
+            for bx in range(bw):
+                zz = coefs[ci][by, bx]
+                if ah == 0:
+                    _encode_ac_first_block(sw, zz, ss, se, al)
+                else:
+                    _encode_ac_refine_block(sw, zz, ss, se, al)
+        sw.flush_eobrun()
+        sw.pad_align()
+        return bytes(sw.out)
+
+    all_cids = [cid for cid, *_ in comps]
+    sos(all_cids, 0, 0, 0, 1, dc_bits(0, 1))             # DC first
+    for ci in range(len(comps)):
+        sos([comps[ci][0]], 1, 5, 0, 2, ac_bits(ci, 1, 5, 0, 2))
+        sos([comps[ci][0]], 6, 63, 0, 2, ac_bits(ci, 6, 63, 0, 2))
+    for ci in range(len(comps)):
+        sos([comps[ci][0]], 1, 63, 2, 1, ac_bits(ci, 1, 63, 2, 1))
+    sos(all_cids, 0, 0, 1, 0, dc_bits(1, 0))             # DC refine
+    for ci in range(len(comps)):
+        sos([comps[ci][0]], 1, 63, 1, 0, ac_bits(ci, 1, 63, 1, 0))
+    out += b"\xff\xd9"
+    return bytes(out)
+
+
+def _coefficients_from_baseline(base: bytes):
+    """Entropy-decode our own baseline bytes back to quantized zigzag
+    coefficients: (list-per-component (bv, bh, 64) arrays, frame, luma
+    quant table). Guarantees the progressive re-encode carries EXACTLY
+    the coefficients the baseline file does."""
+    pos = 2
+    qtables: dict[int, np.ndarray] = {}
+    htables: dict[tuple[int, int], HuffTable] = {}
+    frame = None
+    restart_interval = 0
+    while True:
+        marker = base[pos + 1]
+        pos += 2
+        (seglen,) = struct.unpack_from(">H", base, pos)
+        body = base[pos + 2:pos + seglen]
+        if marker == 0xDB:
+            i = 0
+            while i < len(body):
+                tq = body[i] & 0xF
+                vals = np.frombuffer(body[i + 1:i + 65], dtype=np.uint8)
+                tbl = np.zeros(64, dtype=np.int64)
+                tbl[ZIGZAG] = vals
+                qtables[tq] = tbl.reshape(8, 8)
+                i += 65
+        elif marker == 0xC4:
+            i = 0
+            while i < len(body):
+                tc, th = body[i] >> 4, body[i] & 0xF
+                bits = list(body[i + 1:i + 17])
+                nv = sum(bits)
+                htables[(tc, th)] = HuffTable(bits, list(body[i + 17:i + 17 + nv]))
+                i += 17 + nv
+        elif marker in (0xC0, 0xC1):
+            _, fh, fw, nc = struct.unpack_from(">BHHB", body, 0)
+            comps = []
+            for c in range(nc):
+                cid, hv, tq = body[6 + 3 * c:9 + 3 * c]
+                comps.append((cid, hv >> 4, hv & 0xF, tq))
+            frame = (fh, fw, comps)
+        elif marker == 0xDD:
+            (restart_interval,) = struct.unpack_from(">H", body, 0)
+        elif marker == 0xDA:
+            break
+        pos += seglen
+
+    fh, fw, comps = frame
+    mcux, mcuy, _, _, per = _frame_geometry(frame)
+    coefs = [np.zeros((mcuy * sv, mcux * sh, 64), dtype=np.int64)
+             for _, sh, sv, _ in comps]
+    br = BitReader(base, pos + seglen)
+    preds = [0] * len(comps)
+    since_rst = rst_n = 0
+    for my in range(mcuy):
+        for mx in range(mcux):
+            if restart_interval and since_rst == restart_interval:
+                br.sync_restart(rst_n)
+                rst_n += 1
+                since_rst = 0
+                preds = [0] * len(comps)
+            for ci, (cid, sh, sv, _) in enumerate(comps):
+                for by in range(sv):
+                    for bx in range(sh):
+                        zz = coefs[ci][my * sv + by, mx * sh + bx]
+                        s = br.read_huff(htables[(0, 0)])
+                        preds[ci] += _extend(br.read(s), s) if s else 0
+                        zz[0] = preds[ci]
+                        k = 1
+                        while k <= 63:
+                            rs = br.read_huff(htables[(1, 0)])
+                            if rs == 0x00:
+                                break
+                            if rs == 0xF0:
+                                k += 16
+                                continue
+                            k += rs >> 4
+                            size = rs & 0xF
+                            zz[k] = _extend(br.read(size), size)
+                            k += 1
+            since_rst += 1
+    return coefs, frame, qtables[comps[0][3]]

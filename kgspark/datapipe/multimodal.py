@@ -5,7 +5,8 @@ frame-sample as Arrow-batched `mapInPandas` stages.
 Decode support is format-sniffed from magic bytes:
 - REAL decoders (no external codec libs needed): WAV (stdlib ``wave``),
   PNG (stdlib ``zlib`` inflate + numpy unfiltering), GIF (pure-Python
-  LZW + numpy palette), baseline JPEG (pure-numpy Huffman + IDCT,
+  LZW + numpy palette), baseline AND progressive JPEG (pure-numpy
+  Huffman + IDCT + T.81 G.1.2 successive approximation,
   `jpegcodec.py`), PPM/PGM P6/P5 and uncompressed 24-bit BMP
   (pure numpy) — these run end-to-end on real bytes in tests.
 - The remaining codec format (MP3/AAC/... audio) has no decoder in
@@ -13,8 +14,7 @@ Decode support is format-sniffed from magic bytes:
   codec barrier): with ``FAKE_DECODE`` a deterministic fake (seeded
   from the content hash) keeps the Spark plumbing testable; without it
   it raises ``NotImplementedError`` at the documented plug point
-  (`_decode_audio_bytes`). Progressive JPEG likewise falls to the
-  fake/raise path (baseline sequential decodes for real).
+  (`_decode_audio_bytes`).
 """
 
 from __future__ import annotations
@@ -32,7 +32,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-FAKE_DECODE = True  # applies ONLY to compressed audio (MP3) + progressive JPEG
+FAKE_DECODE = True  # applies ONLY to compressed audio (MP3/AAC/...)
 
 IMAGE_META = T.StructType([
     T.StructField("width", T.IntegerType()),
@@ -307,9 +307,10 @@ def _decode_gif_bytes(content: bytes) -> np.ndarray:
 
 def _decode_image_bytes(content: bytes) -> np.ndarray:
     """Format-sniffing image decode → uint8 grayscale 2-D array.
-    PNG/GIF/baseline-JPEG/PPM/PGM/BMP decode for real (stdlib + numpy
-    only); progressive JPEG hits the plug point below — replace with
-    PIL/cv2 on a real cluster for throughput + full format coverage."""
+    PNG/GIF/JPEG(baseline+progressive)/PPM/PGM/BMP decode for real
+    (stdlib + numpy only); only exotic JPEG modes (arithmetic,
+    lossless, hierarchical) hit the plug point — swap in PIL/cv2 on a
+    real cluster for throughput + full format coverage."""
     if content[:8] == b"\x89PNG\r\n\x1a\n":
         return _decode_png_bytes(content)
     if content[:4] == b"GIF8":
@@ -323,7 +324,7 @@ def _decode_image_bytes(content: bytes) -> np.ndarray:
         try:
             return decode_jpeg(content)
         except ValueError:
-            if not FAKE_DECODE:  # progressive / arithmetic / corrupt
+            if not FAKE_DECODE:  # arithmetic / lossless / corrupt
                 raise
             return _fake_pixels(content)
     if FAKE_DECODE:

@@ -19,6 +19,7 @@ from kgspark.datapipe.jpegcodec import (
     ZIGZAG,
     decode_jpeg,
     encode_jpeg,
+    encode_jpeg_progressive,
     fdct2,
     idct2,
 )
@@ -124,12 +125,45 @@ def test_jpeg_ac_clamp_extreme_contrast():
     assert np.array_equal(out, chk)
 
 
-def test_jpeg_rejects_progressive():
+def test_jpeg_rejects_lossless_and_arithmetic():
     raw = bytearray(encode_jpeg(_pattern(16, 16)))
     i = raw.index(b"\xff\xc0")
-    raw[i + 1] = 0xC2  # SOF0 -> SOF2 (progressive)
-    with pytest.raises(ValueError, match="baseline"):
-        decode_jpeg(bytes(raw))
+    for sof in (0xC3, 0xC9, 0xCA):  # lossless / arith-seq / arith-prog
+        raw[i + 1] = sof
+        with pytest.raises(ValueError, match="not"):
+            decode_jpeg(bytes(raw))
+
+
+@pytest.mark.parametrize("shape,quality,sub", [
+    ((48, 64), 100, "gray"),      # multi-MCU grayscale
+    ((29, 33), 90, "gray"),       # odd dims (right/bottom partial MCUs)
+    ((40, 56), 95, "444"),        # color, no subsampling
+    ((40, 56), 85, "420"),        # color, 2x2 chroma MCG geometry
+])
+def test_jpeg_progressive_equals_baseline(shape, quality, sub):
+    """Progressive re-encode carries exactly the baseline file's
+    quantized coefficients, so decode(progressive) must equal
+    decode(baseline) bit-for-bit — any error in ANY of the six scan
+    kinds (DC first/refine, AC first/refine per band) breaks this."""
+    g = _pattern(*shape)
+    img = g if sub == "gray" else np.stack(
+        [g, g[::-1], g // 2], axis=-1).astype(np.uint8)
+    s = "444" if sub == "gray" else sub
+    base = encode_jpeg(img, quality=quality, subsampling=s)
+    prog = encode_jpeg_progressive(img, quality=quality, subsampling=s)
+    assert b"\xff\xc2" in prog          # really SOF2 ...
+    assert prog.count(b"\xff\xda") >= 6  # ... with a multi-scan script
+    assert np.array_equal(decode_jpeg(prog), decode_jpeg(base))
+
+
+def test_jpeg_progressive_eobrun_spans_blocks():
+    """A mostly-flat image maximizes cross-block EOB runs (the G.1.2.2
+    EOBn path with r > 0) plus buffered correction bits in refinement."""
+    img = np.full((64, 64), 128, dtype=np.uint8)
+    img[5, 7] = 250  # one busy block among 63 empty ones
+    prog = encode_jpeg_progressive(img, quality=80)
+    base = encode_jpeg(img, quality=80)
+    assert np.array_equal(decode_jpeg(prog), decode_jpeg(base))
 
 
 def test_jpeg_truncated_scan_raises():
@@ -142,15 +176,17 @@ def test_jpeg_through_spark_image_features(spark):
     from kgspark.datapipe.multimodal import image_features
 
     imgs = [_pattern(24, 24), _pattern(16, 40),
-            np.stack([_pattern(24, 32)] * 3, axis=-1).astype(np.uint8)]
-    quality = [100, 90, 95]
-    sub = ["444", "444", "420"]
-    rows = [(i, bytearray(encode_jpeg(im, quality=q, subsampling=s)))
-            for i, (im, q, s) in enumerate(zip(imgs, quality, sub))]
+            np.stack([_pattern(24, 32)] * 3, axis=-1).astype(np.uint8),
+            _pattern(32, 24)]
+    quality = [100, 90, 95, 90]
+    sub = ["444", "444", "420", "444"]
+    enc = [encode_jpeg, encode_jpeg, encode_jpeg, encode_jpeg_progressive]
+    rows = [(i, bytearray(e(im, quality=q, subsampling=s)))
+            for i, (im, q, s, e) in enumerate(zip(imgs, quality, sub, enc))]
     df = spark.createDataFrame(rows, "id long, payload binary")
     out = {r["id"]: r for r in
            image_features(df, "id", "payload").collect()}
-    assert len(out) == 3
+    assert len(out) == 4
     for i, im in enumerate(imgs):
         h, w = im.shape[:2]
         assert (out[i]["width"], out[i]["height"]) == (w, h)

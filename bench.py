@@ -64,8 +64,19 @@ def main() -> None:
     # sizes must use the same docs-per-partition, floor included.
     n_parts = int(os.environ.get("SPARK_GRAFT_PARTS", "0")) \
         or max(32, PIPE_DOCS // 10_000)
+    # SPARK_GRAFT_EVENTLOG_DIR: when set, write the Spark event log there
+    # — lets the scaling harness re-run a committed leg with per-stage
+    # task metrics recorded (tools/compare_profiles.py) without changing
+    # anything else about the measured job.
+    extra = {}
+    ev_dir = os.environ.get("SPARK_GRAFT_EVENTLOG_DIR")
+    if ev_dir:
+        os.makedirs(ev_dir, exist_ok=True)
+        extra = {"spark.eventLog.enabled": "true",
+                 "spark.eventLog.dir": ev_dir,
+                 "spark.eventLog.compress": "false"}
     spark = get_spark("kgspark-bench", master=f"local[{CPUS}]",
-                      shuffle_partitions=n_parts)
+                      shuffle_partitions=n_parts, extra=extra)
 
     timings: dict[str, float] = {}
     total_start = time.perf_counter()

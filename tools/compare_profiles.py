@@ -60,6 +60,29 @@ def load_stages(log_dir: str) -> list[dict]:
     return out
 
 
+def wall_split(stages: list[dict]) -> tuple[float, float]:
+    """(in-stage wall, outside-stage wall) in seconds: union of the
+    [submission, completion] intervals vs the span first-submit →
+    last-complete. Outside-stage time is serial driver work (Catalyst,
+    py4j, AQE re-planning) — the component that scales with NEITHER
+    cores NOR corpus size per stage, only with stage count."""
+    ivals = sorted((s["start"], s.get("end") or s["start"])
+                   for s in stages if s.get("start"))
+    if not ivals:
+        return 0.0, 0.0
+    covered = 0
+    cur_a, cur_b = ivals[0]
+    for a, b in ivals[1:]:
+        if a > cur_b:
+            covered += cur_b - cur_a
+            cur_a, cur_b = a, b
+        else:
+            cur_b = max(cur_b, b)
+    covered += cur_b - cur_a
+    span = max(e for _, e in ivals) - ivals[0][0]
+    return covered / 1000, (span - covered) / 1000
+
+
 def main() -> None:
     dir_a, dir_b = sys.argv[1], sys.argv[2]
     out_json = None
@@ -93,9 +116,13 @@ def main() -> None:
     tot_b = sum(s.get("task_ms", 0) for s in b_stages) / 1000
     gc_a = sum(s.get("gc_ms", 0) for s in a_stages) / 1000
     gc_b = sum(s.get("gc_ms", 0) for s in b_stages) / 1000
+    in_a, out_a = wall_split(a_stages)
+    in_b, out_b = wall_split(b_stages)
     print(f"total task core-s: A={tot_a:.1f} B={tot_b:.1f} "
           f"inflation={tot_b / max(tot_a, 1e-9):.3f}")
     print(f"total GC   core-s: A={gc_a:.1f} B={gc_b:.1f}")
+    print(f"wall in-stage/outside-stage s: A={in_a:.1f}/{out_a:.1f} "
+          f"B={in_b:.1f}/{out_b:.1f}")
     if only_a or only_b:
         print(f"unmatched stages: {len(only_a)} only in A, {len(only_b)} only in B "
               f"({sum(ka[k].get('task_ms', 0) for k in only_a) / 1000:.1f} / "
@@ -126,6 +153,8 @@ def main() -> None:
                        "inflation": round(tot_b / max(tot_a, 1e-9), 3),
                        "gc_a_core_s": round(gc_a, 1),
                        "gc_b_core_s": round(gc_b, 1),
+                       "wall_in_stage_s": [round(in_a, 1), round(in_b, 1)],
+                       "wall_outside_stage_s": [round(out_a, 1), round(out_b, 1)],
                        "stages": rows}, f, indent=1)
 
 

@@ -23,7 +23,11 @@ Scope (documented, spec-cited):
   ``ValueError``.
 - ENCODE (test-support, like multimodal.encode_png/encode_gif): SOI /
   JFIF APP0 / DQT / SOF0 / DHT / [DRI] / SOS / EOI with grayscale,
-  4:4:4 or 4:2:0 color. Huffman tables are generated canonically from
+  4:4:4 or 4:2:0 color; plus a progressive (SOF2) encoder with two
+  scan scripts ("standard" successive-approximation / "simple"
+  spectral-selection-only) and per-scan restart markers, emitting the
+  exact baseline coefficients so progressive decode is testable
+  bit-for-bit against baseline decode. Huffman tables are generated canonically from
   (BITS, HUFFVAL) rather than copied from Annex K — any prefix-valid
   table is spec-conformant because the tables travel IN the file; only
   the compression ratio differs, never correctness. This also keeps the
@@ -849,13 +853,19 @@ def _encode_ac_refine_block(sw: _ScanWriter, zz: np.ndarray,
 
 
 def encode_jpeg_progressive(img: np.ndarray, quality: int = 95,
-                            subsampling: str = "444") -> bytes:
-    """uint8 array -> progressive (SOF2) JFIF bytes via the standard
-    spectral-selection + successive-approximation scan script (DC first
-    at Al=1, AC bands 1-5 / 6-63 at Al=2, AC refine to Al=1, DC refine,
-    AC refine to Al=0) — exercises every progressive decode path.
-    Quantized coefficients are identical to :func:`encode_jpeg`'s, so
-    decode(progressive) == decode(baseline) exactly."""
+                            subsampling: str = "444",
+                            script: str = "standard",
+                            restart_interval: int = 0) -> bytes:
+    """uint8 array -> progressive (SOF2) JFIF bytes. Two scan scripts
+    (real-world encoders vary here, so the decoder must not depend on
+    one shape): "standard" = spectral selection + successive
+    approximation (DC first at Al=1, AC bands 1-5 / 6-63 at Al=2, AC
+    refine to Al=1, DC refine, AC refine to Al=0 — every progressive
+    decode path); "simple" = spectral selection only, no refinement
+    (DC at Al=0, one full-band AC scan per component — the shape
+    minimal progressive encoders emit). Quantized coefficients are
+    identical to :func:`encode_jpeg`'s, so decode(progressive) ==
+    decode(baseline) exactly for both scripts."""
     base = encode_jpeg(np.asarray(img), quality=quality,
                        subsampling=subsampling)
     # reuse the tested baseline path to produce the coefficient store:
@@ -873,6 +883,8 @@ def encode_jpeg_progressive(img: np.ndarray, quality: int = 95,
     out += _seg(0xC2, bytes(sof))
     out += _seg(0xC4, _dht_payload(0, 0, ENC_DC_TABLE))
     out += _seg(0xC4, _dht_payload(1, 0, ENC_PROG_AC_TABLE))
+    if restart_interval:
+        out += _seg(0xDD, struct.pack(">H", restart_interval))
 
     cindex = {cid: i for i, (cid, *_ ) in enumerate(comps)}
     # interleaved MCU order over every (padding-included) block
@@ -893,18 +905,32 @@ def encode_jpeg_progressive(img: np.ndarray, quality: int = 95,
         out.extend(body_bits)
 
     def dc_bits(ah: int, al: int) -> bytes:
+        # restart semantics (T.81 E.2.4): each interval encodes with
+        # fresh DC predictors, byte-aligned, separated by cycling RSTn —
+        # so per-interval _encode_dc_scan calls (fresh preds each) are
+        # exactly the spec'd reset.
         sw = _ScanWriter()
-        _encode_dc_scan(sw, coefs, dc_order, al, ah, len(comps))
+        per_mcu = sum(sh * sv for _, sh, sv, _ in comps)
+        chunk = (restart_interval or mcux * mcuy) * per_mcu
+        for i, at in enumerate(range(0, len(dc_order), chunk)):
+            if i:
+                sw.write_marker(0xD0 + (i - 1) % 8)
+            _encode_dc_scan(sw, coefs, dc_order[at:at + chunk],
+                            al, ah, len(comps))
         sw.pad_align()
         return bytes(sw.out)
 
     def ac_bits(ci: int, ss: int, se: int, ah: int, al: int) -> bytes:
         cid, sh, sv, _ = comps[ci]
         bw, bh = per[cid][3], per[cid][4]
+        blocks = [coefs[ci][by, bx] for by in range(bh) for bx in range(bw)]
+        chunk = restart_interval or len(blocks)
         sw = _ScanWriter()
-        for by in range(bh):
-            for bx in range(bw):
-                zz = coefs[ci][by, bx]
+        for i, at in enumerate(range(0, len(blocks), chunk)):
+            if i:
+                sw.flush_eobrun()
+                sw.write_marker(0xD0 + (i - 1) % 8)
+            for zz in blocks[at:at + chunk]:
                 if ah == 0:
                     _encode_ac_first_block(sw, zz, ss, se, al)
                 else:
@@ -914,15 +940,22 @@ def encode_jpeg_progressive(img: np.ndarray, quality: int = 95,
         return bytes(sw.out)
 
     all_cids = [cid for cid, *_ in comps]
-    sos(all_cids, 0, 0, 0, 1, dc_bits(0, 1))             # DC first
-    for ci in range(len(comps)):
-        sos([comps[ci][0]], 1, 5, 0, 2, ac_bits(ci, 1, 5, 0, 2))
-        sos([comps[ci][0]], 6, 63, 0, 2, ac_bits(ci, 6, 63, 0, 2))
-    for ci in range(len(comps)):
-        sos([comps[ci][0]], 1, 63, 2, 1, ac_bits(ci, 1, 63, 2, 1))
-    sos(all_cids, 0, 0, 1, 0, dc_bits(1, 0))             # DC refine
-    for ci in range(len(comps)):
-        sos([comps[ci][0]], 1, 63, 1, 0, ac_bits(ci, 1, 63, 1, 0))
+    if script == "simple":
+        sos(all_cids, 0, 0, 0, 0, dc_bits(0, 0))         # DC, full precision
+        for ci in range(len(comps)):
+            sos([comps[ci][0]], 1, 63, 0, 0, ac_bits(ci, 1, 63, 0, 0))
+    elif script == "standard":
+        sos(all_cids, 0, 0, 0, 1, dc_bits(0, 1))         # DC first
+        for ci in range(len(comps)):
+            sos([comps[ci][0]], 1, 5, 0, 2, ac_bits(ci, 1, 5, 0, 2))
+            sos([comps[ci][0]], 6, 63, 0, 2, ac_bits(ci, 6, 63, 0, 2))
+        for ci in range(len(comps)):
+            sos([comps[ci][0]], 1, 63, 2, 1, ac_bits(ci, 1, 63, 2, 1))
+        sos(all_cids, 0, 0, 1, 0, dc_bits(1, 0))         # DC refine
+        for ci in range(len(comps)):
+            sos([comps[ci][0]], 1, 63, 1, 0, ac_bits(ci, 1, 63, 1, 0))
+    else:
+        raise ValueError(f"unknown scan script {script!r}")
     out += b"\xff\xd9"
     return bytes(out)
 

@@ -156,6 +156,37 @@ def test_jpeg_progressive_equals_baseline(shape, quality, sub):
     assert np.array_equal(decode_jpeg(prog), decode_jpeg(base))
 
 
+def test_jpeg_progressive_simple_script():
+    """Spectral-selection-only script (no successive approximation) —
+    the decoder must handle Al=0 first scans with no refinement passes,
+    a shape minimal real-world progressive encoders emit."""
+    g = _pattern(40, 56)
+    rgb = np.stack([g, g[::-1], g // 2], axis=-1).astype(np.uint8)
+    for img, sub in ((g, "444"), (rgb, "420")):
+        base = encode_jpeg(img, quality=90, subsampling=sub)
+        prog = encode_jpeg_progressive(img, quality=90, subsampling=sub,
+                                       script="simple")
+        assert np.array_equal(decode_jpeg(prog), decode_jpeg(base))
+    with pytest.raises(ValueError, match="scan script"):
+        encode_jpeg_progressive(g, script="bogus")
+
+
+def test_jpeg_progressive_restart_markers():
+    """DRI/RSTn inside progressive scans: predictors, EOB runs and the
+    bit reader must all resync at every interval, in every scan kind
+    (DC first/refine, AC first/refine). Both scripts, gray + 4:2:0."""
+    g = _pattern(48, 64)
+    rgb = np.stack([g, g[::-1], g // 2], axis=-1).astype(np.uint8)
+    for img, sub in ((g, "444"), (rgb, "420")):
+        base = decode_jpeg(encode_jpeg(img, quality=90, subsampling=sub))
+        for script in ("standard", "simple"):
+            prog = encode_jpeg_progressive(
+                img, quality=90, subsampling=sub, script=script,
+                restart_interval=3)
+            assert prog.count(b"\xff\xdd") == 1  # DRI present
+            assert np.array_equal(decode_jpeg(prog), base)
+
+
 def test_jpeg_progressive_eobrun_spans_blocks():
     """A mostly-flat image maximizes cross-block EOB runs (the G.1.2.2
     EOBn path with r > 0) plus buffered correction bits in refinement."""

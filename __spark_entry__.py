@@ -945,6 +945,98 @@ def q_pii_redact(spark, sf):
     ).orderBy("doc_id")
 
 
+def q_image_decode(spark, sf):
+    """Multimodal known-answer decode: deterministic constant-valued
+    images synthesized in EVERY real decode format by id (PNG, GIF, PGM,
+    BMP, baseline JPEG, progressive JPEG), pushed as binary through the
+    image_features mapInPandas path (real decoders run on executors;
+    bytes never hit the driver). Output columns (dims + mean luminance)
+    are derivable from the construction formula alone — the oracle
+    restates that formula in SQL, fully independent of the decoders —
+    so any dimension/pixel error in any of the six decoders breaks the
+    value hash. Constant images make mean_lum exact even through JPEG:
+    a constant block quantizes to a DC-only spectrum that inverse-
+    transforms back exactly at quality 100 (proven in test_jpeg)."""
+    import pandas as pd
+
+    from kgspark.datapipe.multimodal import (
+        encode_bmp,
+        encode_gif,
+        encode_png,
+        encode_ppm,
+        image_features,
+    )
+
+    def gen(batches):
+        import numpy as np
+
+        from kgspark.datapipe.jpegcodec import (
+            encode_jpeg,
+            encode_jpeg_progressive,
+        )
+
+        encoders = [
+            encode_png, encode_gif, encode_ppm, encode_bmp,
+            lambda im: encode_jpeg(im, quality=100),
+            lambda im: encode_jpeg_progressive(im, quality=100),
+        ]
+        for pdf in batches:
+            rows = []
+            for i in pdf["id"]:
+                i = int(i)
+                w = 16 + (i % 7) * 8
+                h = 12 + (i % 5) * 8
+                c = 40 + (i % 50) * 4
+                img = np.full((h, w), c, dtype=np.uint8)
+                rows.append((i, bytearray(encoders[i % 6](img))))
+            yield pd.DataFrame(rows, columns=["id", "payload"])
+
+    payloads = spark.range(120).repartition(8).mapInPandas(
+        gen, "id long, payload binary")
+    return image_features(payloads, "id", "payload").select(
+        "id",
+        F.col("width").cast("long").alias("width"),
+        F.col("height").cast("long").alias("height"),
+        F.round("mean_lum", 3).alias("mean_lum"),
+    )
+
+
+def q_audio_decode(spark, sf):
+    """Multimodal known-answer audio decode: deterministic square waves
+    (amplitude/length/period fixed by id) encoded as real 16-bit WAV,
+    decoded through the audio_features mapInPandas path. n_samples, RMS
+    (= amplitude exactly for a square wave) and zero-crossing count all
+    follow from the construction formula, which the oracle restates in
+    SQL independent of the decoder."""
+    import pandas as pd
+
+    from kgspark.datapipe.multimodal import audio_features, encode_wav
+
+    def gen(batches):
+        import numpy as np
+
+        for pdf in batches:
+            rows = []
+            for i in pdf["id"]:
+                i = int(i)
+                amp = 1000 + (i % 7) * 100
+                m = 50 + (i % 13)          # half-periods of 16 samples
+                sq = np.tile(np.concatenate(
+                    [np.full(16, amp, np.int16),
+                     np.full(16, -amp, np.int16)]), (m + 1) // 2)[: 16 * m]
+                rows.append((i, bytearray(encode_wav(sq))))
+            yield pd.DataFrame(rows, columns=["id", "payload"])
+
+    payloads = spark.range(120).repartition(8).mapInPandas(
+        gen, "id long, payload binary")
+    return audio_features(payloads, "id", "payload").select(
+        "id",
+        F.col("n_samples").cast("long").alias("n_samples"),
+        F.round("rms", 3).alias("rms"),
+        F.col("zero_crossings").cast("long").alias("zero_crossings"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "s8_keyset_pagination": q_s8_keyset_pagination,
@@ -1005,6 +1097,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "chunk_documents": q_chunk_documents,
         "pack_sequences": q_pack_sequences,
         "stratified_sample": q_stratified_sample,
+        # multimodal known-answer decodes (datapipe/multimodal.py +
+        # jpegcodec.py): every real image decoder + the WAV audio path,
+        # checked against construction-formula oracles
+        "image_decode": q_image_decode,
+        "audio_decode": q_audio_decode,
     }
 
 
@@ -1147,6 +1244,23 @@ def oracle_sql() -> dict[str, str]:
         "pack_sequences": pack_oracle,
         "stratified_sample": mix_oracle,
         "e4_attributes": e4_oracle,
+        # multimodal known-answer oracles: the expected features restated
+        # from the image/audio construction formulas — independent of the
+        # decoders under test (see q_image_decode / q_audio_decode)
+        "image_decode": """
+            SELECT id,
+                   16 + (id % 7) * 8 AS width,
+                   12 + (id % 5) * 8 AS height,
+                   CAST(40 + (id % 50) * 4 AS DOUBLE) AS mean_lum
+            FROM range(120) t(id) ORDER BY id
+        """,
+        "audio_decode": """
+            SELECT id,
+                   16 * (50 + (id % 13)) AS n_samples,
+                   CAST(1000 + (id % 7) * 100 AS DOUBLE) AS rms,
+                   50 + (id % 13) - 1 AS zero_crossings
+            FROM range(120) t(id) ORDER BY id
+        """,
         "s8_keyset_pagination": """
             SELECT event_id, user_id, event_type FROM events
             WHERE event_id < 9000 ORDER BY event_id DESC LIMIT 100

@@ -108,6 +108,21 @@ def alias_pairs(nodes: DataFrame, jaccard_threshold: float = 0.55) -> DataFrame:
         num_hashes=64, bands=16,
         jaccard_threshold=jaccard_threshold,
     ).select("id_a", "id_b")
+    # homonym-split protection (operators/disambig.py): deliberately
+    # split nodes carry an IDENTICAL norm_name, which name-shingle LSH
+    # would pair at Jaccard 1.0 and merge right back — veto equal-norm-
+    # name pairs. A no-op when splitting is off: equal norm_name implies
+    # equal uuid by construction (extract.py uuid scheme) and lsh_pairs
+    # never emits self-pairs.
+    nn = base.select("uuid", "norm_name")
+    lsh = (
+        lsh.join(nn.withColumnRenamed("uuid", "id_a")
+                 .withColumnRenamed("norm_name", "_nn_a"), "id_a")
+        .join(nn.withColumnRenamed("uuid", "id_b")
+              .withColumnRenamed("norm_name", "_nn_b"), "id_b")
+        .where(F.col("_nn_a") != F.col("_nn_b"))
+        .select("id_a", "id_b")
+    )
 
     # eagerly materialized: the pair list is tiny (post-verify near-dups)
     # but its lineage is the most expensive subtree in the build, and the

@@ -55,6 +55,8 @@ def build_graph(
     dedup: bool = True,
     entity_types: dict | None = None,
     edge_salt: int | None = EDGE_SALT,
+    homonym_split: float | None = None,
+    ctx_embedder=None,
 ) -> dict[str, DataFrame]:
     """pages(url, warc_ts, html, text, lang) → graph tables
     {episodes, nodes, edges, mentions}. ``entity_types`` controls E4
@@ -67,7 +69,7 @@ def build_graph(
     (add_episode parity)."""
     episodes, ext_nodes, ext_edges = run_extraction(pages_to_episodes(pages))[:3]
     return assemble_graph(episodes, ext_nodes, ext_edges, embed_dim, now, dedup,
-                          entity_types, edge_salt)
+                          entity_types, edge_salt, homonym_split, ctx_embedder)
 
 
 def assemble_graph(
@@ -79,11 +81,26 @@ def assemble_graph(
     dedup: bool = True,
     entity_types: dict | None = None,
     edge_salt: int | None = EDGE_SALT,
+    homonym_split: float | None = None,
+    ctx_embedder=None,
 ) -> dict[str, DataFrame]:
     """Extraction outputs → graph tables. Split from ``build_graph`` so
     incremental ingest (kgspark.streaming) can re-assemble affected
     group partitions from stored per-episode extraction rows without
-    re-running the extraction UDF."""
+    re-running the extraction UDF.
+
+    ``homonym_split`` (default None = off) opts into mention-context
+    homonym splitting before node aggregation (operators/disambig.py —
+    the deterministic stand-in for the reference's LLM duplicate judge,
+    node_operations.py:271-380). Only meaningful with a SEMANTIC
+    ``ctx_embedder``; the default hash embedder carries no signal, so
+    leave it off unless a real encoder is plugged in."""
+    if homonym_split is not None:
+        from kgspark.operators.disambig import apply_split, split_homonyms
+
+        smap = split_homonyms(ext_nodes, episodes, threshold=homonym_split,
+                              embedder=ctx_embedder, embed_dim=embed_dim)
+        ext_nodes, ext_edges = apply_split(ext_nodes, ext_edges, smap)
     # Eagerly materialized: nodes0 fans out to 4+ consumers (alias pairs,
     # the uuid-map created_at lookup, node-merge, E4) and several of them
     # issue driver-side actions (take/collect) — with a lazy persist the

@@ -116,3 +116,72 @@ def test_below_threshold_names_stay_separate(spark):
     assert names == {"Michael Jordan", "Katie Jordan"}
     assert all(e["invalid_at"] is None for e in edges
                if e["name"] == "WORKS_AT")
+
+
+# ---------------------------------------------------------------- opt-in split
+
+def _discriminative_embedder(col):
+    """Test stand-in for a semantic encoder: contexts about the athlete
+    (Nike) and the professor (Berkeley) land on orthogonal axes. The
+    engine's default hash embedder cannot do this — which is exactly why
+    homonym_split defaults to off (operators/disambig.py docstring)."""
+    from pyspark.sql import functions as F
+
+    return F.array(
+        F.when(col.contains("Nike"), F.lit(1.0)).otherwise(F.lit(0.0)),
+        F.when(col.contains("Berkeley"), F.lit(1.0)).otherwise(F.lit(0.0)),
+    ).cast("array<float>")
+
+
+def test_context_split_separates_homonyms(spark):
+    """homonym_split + a discriminative embedder: the two same-name
+    entities become separate nodes, each WORKS_AT edge follows its
+    episode's cluster, and the false T2 invalidation measured in
+    test_same_name_conflation disappears."""
+    rows = [
+        ("https://example.com/a", NOW, "Michael Jordan works at Nike."),
+        ("https://example.com/b", NOW + timedelta(days=1),
+         "Michael Jordan works at Berkeley."),
+    ]
+    g = build_graph(_pages(spark, rows), now=NOW, homonym_split=0.5,
+                    ctx_embedder=_discriminative_embedder)
+    nodes = g["nodes"].collect()
+    edges = g["edges"].collect()
+    jordans = [n for n in nodes if n["name"] == "Michael Jordan"]
+    assert len(jordans) == 2
+    assert len({n["uuid"] for n in jordans}) == 2
+    works = [e for e in edges if e["name"] == "WORKS_AT"]
+    assert len(works) == 2
+    assert len({e["source_node_uuid"] for e in works}) == 2
+    # functional-pred contradiction no longer fires across entities
+    assert all(e["invalid_at"] is None for e in works)
+
+
+def test_context_split_keeps_homogeneous_entity(spark):
+    """Same entity, homogeneous contexts: farthest-point seeds stay
+    above the threshold, so no split — the one node keeps both episodes'
+    facts and same-subject T2 semantics are unchanged."""
+    rows = [
+        ("https://example.com/a", NOW, "Michael Jordan works at Nike."),
+        ("https://example.com/b", NOW + timedelta(days=1),
+         "Michael Jordan lives in Portland. He works at Nike."),
+    ]
+    g = build_graph(_pages(spark, rows), now=NOW, homonym_split=0.5,
+                    ctx_embedder=_discriminative_embedder)
+    jordans = [n for n in g["nodes"].collect()
+               if n["name"] == "Michael Jordan"]
+    assert len(jordans) == 1
+
+
+def test_context_split_off_matches_default(spark):
+    """Flag off (default): identical graph to the documented merged
+    behavior — the split machinery must be invisible unless opted into."""
+    rows = [
+        ("https://example.com/a", NOW, "Michael Jordan works at Nike."),
+        ("https://example.com/b", NOW + timedelta(days=1),
+         "Michael Jordan works at Berkeley."),
+    ]
+    g = build_graph(_pages(spark, rows), now=NOW)
+    jordans = [n for n in g["nodes"].collect()
+               if n["name"] == "Michael Jordan"]
+    assert len(jordans) == 1

@@ -281,6 +281,26 @@ def q_exact_dedup(spark, sf):
     )
 
 
+def q_substring_dedup(spark, sf):
+    """Exact duplicated-substring spans (Lee et al. 2021 k-gram formulation;
+    datapipe.dedupe.substring_dup_spans). Spans of >= 8 duplicated tokens,
+    canonical (globally-first) occurrence excluded, adjacent grams merged."""
+    from kgspark.datapipe.dedupe import substring_dup_spans
+
+    return substring_dup_spans(
+        _documents(spark, sf), "doc_id", "text", k=8
+    ).orderBy("doc_id", "span_start")
+
+
+def q_lm_nll(spark, sf):
+    """CCNet-style bigram-LM quality scores, self-trained on the corpus
+    (datapipe.lm.lm_nll_scores; Wenzek et al. 2020). Fixed-point micro-nat
+    log-probs make the mean exact cross-engine."""
+    from kgspark.datapipe.lm import lm_nll_scores
+
+    return lm_nll_scores(_documents(spark, sf), "doc_id", "text").orderBy("doc_id")
+
+
 def q_sessionize(spark, sf):
     """Sessionization via lag + running sum (SURVEY §2.7 pattern; 30-min gap)."""
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
@@ -1049,6 +1069,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "top_k_join": q_top_k_join,
         "doc_token_stats": q_doc_token_stats,
         "exact_dedup": q_exact_dedup,
+        "substring_dedup": q_substring_dedup,
+        "lm_nll": q_lm_nll,
         "sessionize": q_sessionize,
         "s7_point_lookup": q_s7_point_lookup,
         "d1_first_wins": q_d1_first_wins,
@@ -1363,6 +1385,72 @@ def oracle_sql() -> dict[str, str]:
                                    x -> x <> '')) AS n_tokens,
                    length(text) AS len_chars
             FROM documents ORDER BY doc_id
+        """,
+        "lm_nll": """
+            WITH toks AS (
+              SELECT doc_id,
+                     list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                                 x -> x <> '') AS t
+              FROM documents
+            ), uni AS (
+              SELECT u.w, count(*) AS cw
+              FROM toks, LATERAL (SELECT UNNEST(t) AS w) u GROUP BY u.w
+            ), vv AS (
+              SELECT count(*) AS v FROM uni
+            ), big AS (
+              SELECT doc_id, list_extract(t, gs.i) AS w1,
+                     list_extract(t, gs.i + 1) AS w2
+              FROM (SELECT doc_id, t, len(t) AS n FROM toks WHERE len(t) >= 2) s,
+                   LATERAL (SELECT UNNEST(generate_series(1, n - 1)) AS i) gs
+            ), bcnt AS (
+              SELECT w1, w2, count(*) AS cb FROM big GROUP BY w1, w2
+            ), lm AS (
+              SELECT w1, w2,
+                     CAST(round(ln((cb + 0.5) / (cw + 0.5 * v)) * 1e6) AS BIGINT)
+                         AS lp
+              FROM bcnt JOIN uni ON bcnt.w1 = uni.w CROSS JOIN vv
+            ), occ AS (
+              SELECT doc_id, w1, w2, count(*) AS n FROM big GROUP BY doc_id, w1, w2
+            )
+            SELECT doc_id, CAST(sum(n) AS BIGINT) AS n_bigrams,
+                   round(-sum(n * lp) / (sum(n) * 1e6), 4) AS nll
+            FROM occ JOIN lm USING (w1, w2)
+            GROUP BY doc_id ORDER BY doc_id
+        """,
+        "substring_dedup": """
+            WITH toks AS (
+              SELECT doc_id,
+                     list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                                 x -> x <> '') AS t
+              FROM documents
+            ), grams AS (
+              SELECT doc_id, gs.pos,
+                     array_to_string(list_slice(t, gs.pos, gs.pos + 7), ' ') AS gram
+              FROM (SELECT doc_id, t, len(t) AS n FROM toks WHERE len(t) >= 8) s,
+                   LATERAL (SELECT UNNEST(generate_series(1, n - 7)) AS pos) gs
+            ), occ AS (
+              SELECT doc_id, pos,
+                     count(*) OVER (PARTITION BY gram) AS cnt,
+                     row_number() OVER (PARTITION BY gram ORDER BY doc_id, pos) AS rn
+              FROM grams
+            ), dup AS (
+              SELECT doc_id, pos, pos + 7 AS e FROM occ WHERE cnt > 1 AND rn > 1
+            ), isl AS (
+              SELECT doc_id, pos, e,
+                     CASE WHEN pos <= max(e) OVER (PARTITION BY doc_id ORDER BY pos
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) + 1
+                          THEN 0 ELSE 1 END AS brk
+              FROM dup
+            ), isl2 AS (
+              SELECT doc_id, pos, e,
+                     sum(brk) OVER (PARTITION BY doc_id ORDER BY pos) AS island
+              FROM isl
+            )
+            SELECT doc_id, CAST(min(pos) AS BIGINT) AS span_start,
+                   CAST(max(e) AS BIGINT) AS span_end,
+                   CAST(max(e) - min(pos) + 1 AS BIGINT) AS span_len
+            FROM isl2 GROUP BY doc_id, island
+            ORDER BY doc_id, span_start
         """,
         "exact_dedup": """
             SELECT md5(text) AS text_hash, count(*) AS n, min(doc_id) AS canonical_doc_id

@@ -183,6 +183,117 @@ def embedding_neardup_pairs_lsh(
     )
 
 
+def substring_dup_spans(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text", k: int = 8
+) -> DataFrame:
+    """Exact duplicated-substring spans — the distributed k-gram formulation
+    of suffix-array substring dedup (Lee et al., "Deduplicating Training Data
+    Makes Language Models Better", 2021; public literature). The reference has
+    no counterpart (its dedup is entity-level, dedup_helpers.py); this is the
+    document-level op a 100-TB pretraining pipeline runs before it.
+
+    A k-token gram is *duplicated* when it occurs more than once in the corpus
+    (any document, any position). Every non-canonical occurrence (canonical =
+    global minimum (doc_id, pos)) marks tokens [pos, pos+k-1] for removal;
+    overlapping or adjacent marks merge into maximal per-document spans, so
+    a repeated passage of any length ≥ k collapses to one span.
+
+    Scale shape: each gram is hashed to 64 bits in the projection — the gram
+    string itself never shuffles; repeat detection is one map-side-combinable
+    groupBy on the hash (count + min-struct); the join-back ships only slim
+    (doc_id, pos, hash) rows for hashes with n > 1; the span merge is a
+    single per-document window. No all-pairs path. A 64-bit hash collision
+    can mark a false span (~n²/2⁶⁵) — acceptable for dedup, noted here.
+
+    Returns (doc_id, span_start, span_end, span_len): 1-based inclusive
+    token indexes into tokenize(text).
+    """
+    k = int(k)
+    toks = df.select(
+        F.col(id_col).alias("doc_id"), tokenize(F.col(text_col)).alias("_t")
+    ).where(F.size("_t") >= k)
+    occ = toks.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                f"transform(sequence(1, size(_t) - {k} + 1), "
+                f"i -> struct(i AS pos, "
+                f"xxhash64(array_join(slice(_t, i, {k}), ' ')) AS h))"
+            )
+        ).alias("o"),
+    ).select("doc_id", F.col("o.pos").cast("long").alias("pos"), "o.h")
+    stats = occ.groupBy("h").agg(
+        F.count("*").alias("n"), F.min(F.struct("doc_id", "pos")).alias("first")
+    )
+    dup = (
+        occ.join(stats.where("n > 1"), "h")
+        .where(
+            (F.col("doc_id") != F.col("first.doc_id"))
+            | (F.col("pos") != F.col("first.pos"))
+        )
+        .select("doc_id", "pos", (F.col("pos") + F.lit(k - 1)).alias("e"))
+    )
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    prev_end = F.max("e").over(w.rowsBetween(Window.unboundedPreceding, -1))
+    # first row of each doc: prev_end is NULL -> comparison NULL -> otherwise(1)
+    marked = dup.withColumn(
+        "brk", F.when(F.col("pos") <= prev_end + 1, F.lit(0)).otherwise(F.lit(1))
+    ).withColumn("island", F.sum("brk").over(w))
+    return (
+        marked.groupBy("doc_id", "island")
+        .agg(F.min("pos").alias("span_start"), F.max("e").alias("span_end"))
+        .select(
+            "doc_id",
+            "span_start",
+            "span_end",
+            (F.col("span_end") - F.col("span_start") + 1).alias("span_len"),
+        )
+    )
+
+
+def strip_dup_spans(
+    df: DataFrame,
+    spans: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Rebuild each document's text with its duplicated spans removed (the
+    canonical copy survives elsewhere in the corpus by construction).
+
+    One join (broadcast-eligible: spans aggregate to one row per affected
+    doc); the positional token filter is a codegen array lambda — no Python,
+    no extra shuffle. Reconstructed text is token-joined (tokenizer-lossy
+    w.r.t. original punctuation/whitespace, like the reference fulltext
+    normalization, search_utils.py:59-76).
+
+    Returns (id_col, dedup_text, n_tokens_kept).
+    """
+    per_doc = spans.groupBy(F.col("doc_id").alias(id_col)).agg(
+        F.collect_list(F.struct("span_start", "span_end")).alias("_spans")
+    )
+    toks = df.select(F.col(id_col), tokenize(F.col(text_col)).alias("_t"))
+    joined = toks.join(per_doc, id_col, "left")
+    kept = F.when(F.col("_spans").isNull(), F.col("_t")).otherwise(
+        F.transform(
+            F.filter(
+                F.transform(
+                    F.col("_t"), lambda x, i: F.struct(x.alias("x"), (i + 1).alias("p"))
+                ),
+                lambda s: ~F.exists(
+                    F.col("_spans"),
+                    lambda sp: s["p"].between(sp["span_start"], sp["span_end"]),
+                ),
+            ),
+            lambda s: s["x"],
+        )
+    )
+    return joined.select(
+        id_col,
+        F.array_join(kept, " ").alias("dedup_text"),
+        F.size(kept).cast("long").alias("n_tokens_kept"),
+    )
+
+
 def dedup_keep_canonical(df: DataFrame, id_col: str, pairs: DataFrame) -> DataFrame:
     """Drop every row that near-dups an earlier (smaller-id) row:
     survivors = rows never appearing as id_b in the pair list (after

@@ -525,3 +525,41 @@ def test_png_unsupported_variants_raise():
         _decode_png_bytes(rewrite_ihdr(base, depth=16))
     with _pytest.raises(NotImplementedError, match="interlaced"):
         _decode_png_bytes(rewrite_ihdr(base, interlace=1))
+
+
+def test_substring_dup_spans_cross_doc_and_self(spark):
+    from kgspark.datapipe.dedupe import strip_dup_spans, substring_dup_spans
+
+    a = "one two three four five six seven eight"
+    b = "nine ten eleven twelve thirteen fourteen fifteen sixteen"
+    u = "u1 u2 u3 u4 u5 u6 u7 u8 u9 u10"
+    df = spark.createDataFrame(
+        [(0, a + " " + b), (1, a + " " + b), (2, u), (3, a + " gap " + a)],
+        "doc_id long, text string",
+    )
+    spans = substring_dup_spans(df, "doc_id", "text", k=8)
+    got = sorted(tuple(r) for r in spans.collect())
+    # doc0 is canonical (globally-first) -> untouched; doc1 is a full copy ->
+    # all its 9 duplicated grams merge into ONE maximal span [1,16]; doc2 is
+    # unique; doc3's two "a" occurrences both duplicate doc0's gram at pos 1.
+    assert got == [(1, 1, 16, 16), (3, 1, 8, 8), (3, 10, 17, 8)]
+
+    out = {r["doc_id"]: r for r in
+           strip_dup_spans(df, spans, "doc_id", "text").collect()}
+    assert out[0]["n_tokens_kept"] == 16          # canonical copy survives
+    assert out[1]["n_tokens_kept"] == 0           # full duplicate stripped
+    assert out[2]["dedup_text"] == u              # unique doc untouched
+    assert out[3]["dedup_text"] == "gap"          # both repeats stripped
+
+
+def test_substring_dup_spans_short_docs_and_k(spark):
+    from kgspark.datapipe.dedupe import substring_dup_spans
+
+    # docs shorter than k emit no grams (and no sequence(1,0) descending trap)
+    df = spark.createDataFrame(
+        [(0, "a b c"), (1, "a b c")], "doc_id long, text string"
+    )
+    assert substring_dup_spans(df, "doc_id", "text", k=8).count() == 0
+    # at k=3 the copy is caught
+    got = [tuple(r) for r in substring_dup_spans(df, "doc_id", "text", k=3).collect()]
+    assert got == [(1, 1, 3, 3)]

@@ -98,6 +98,23 @@ CHECKS = {
                                                   "— the text column never "
                                                   "leaves the scan"),
     ],
+    "substring_dedup": [
+        ("xxhash64", "grams hash to 64 bits inside the projection — the "
+                     "gram strings never shuffle, only (doc_id,pos,hash)"),
+        ("partial_min", "repeat detection is a two-phase agg: map-side "
+                        "partial count + min-struct before the one exchange"),
+        ("!EvalPython", "gram generation is native transform/slice/xxhash64 "
+                        "— no Python anywhere"),
+        ("ReadSchema: struct<doc_id:bigint,text", "column pruning at the "
+                                                  "documents scan"),
+    ],
+    "lm_nll": [
+        ("BroadcastNestedLoopJoin", "vocabulary size V rides as a 1-row "
+                                    "broadcast — no driver collect"),
+        ("partial_count", "uni/bigram count tables are two-phase aggs "
+                          "(map-side partials)"),
+        ("!EvalPython", "train + score is pure Catalyst — no Python"),
+    ],
     "pii_redact": [
         ("regexp_replace", "detect+redact is native Catalyst regexp "
                            "expressions — JVM-side, embarrassingly parallel"),

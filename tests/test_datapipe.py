@@ -563,3 +563,39 @@ def test_substring_dup_spans_short_docs_and_k(spark):
     # at k=3 the copy is caught
     got = [tuple(r) for r in substring_dup_spans(df, "doc_id", "text", k=3).collect()]
     assert got == [(1, 1, 3, 3)]
+
+
+def test_substring_dup_spans_matches_reference_impl(spark):
+    """Seeded randomized corpus vs a pure-Python O(n·k) reference:
+    soundness (every span position's gram repeats in the corpus) and
+    completeness (every duplicated non-canonical gram is span-covered)."""
+    import random
+
+    from kgspark.datapipe.dedupe import substring_dup_spans
+
+    rng = random.Random(7)
+    vocab = [f"w{i}" for i in range(6)]  # tiny vocab -> dense collisions
+    docs = [(i, " ".join(rng.choice(vocab) for _ in range(rng.randint(0, 20))))
+            for i in range(25)]
+    k = 4
+
+    # reference: exact gram occurrence lists, canonical = min (doc, pos)
+    occs = {}
+    for did, text in docs:
+        toks = text.split()
+        for p in range(len(toks) - k + 1):
+            occs.setdefault(tuple(toks[p:p + k]), []).append((did, p + 1))
+    expect_marks = set()
+    for gram, lst in occs.items():
+        if len(lst) > 1:
+            for (did, p) in sorted(lst)[1:]:
+                expect_marks.update((did, t) for t in range(p, p + k))
+
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    spans = substring_dup_spans(df, "doc_id", "text", k=k).collect()
+    got_marks = set()
+    for r in spans:
+        assert r["span_len"] == r["span_end"] - r["span_start"] + 1
+        got_marks.update((r["doc_id"], t)
+                         for t in range(r["span_start"], r["span_end"] + 1))
+    assert got_marks == expect_marks

@@ -530,6 +530,28 @@ def q_c2_label_propagation(spark, sf):
     return label_propagation(build_projection(edges), max_iter=5)
 
 
+def q_kcore(spark, sf):
+    """Per-node core numbers over the part co-occurrence graph —
+    distributed h-index iteration (kgspark/operators/graphstats.py
+    kcore_numbers; Montresor et al. 2013). Fixed 6-round schedule for
+    cross-engine parity (converges in < 6 rounds on this graph —
+    asserted in test_graphstats); integer outputs hash exactly."""
+    from kgspark.operators.graphstats import kcore_numbers
+
+    li = (spark.read.parquet(f"{sf}/lineitem.parquet")
+          .where(F.col("l_orderkey") <= 100)
+          .select("l_orderkey", "l_partkey"))
+    a, b = li.alias("a"), li.alias("b")
+    co = a.join(
+        b, (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+        & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+    ).select(
+        F.concat(F.lit("p"), F.col("a.l_partkey")).alias("source_node_uuid"),
+        F.concat(F.lit("p"), F.col("b.l_partkey")).alias("target_node_uuid"),
+    )
+    return kcore_numbers(co, n_iter=6, num_partitions=8).orderBy("node")
+
+
 def q_pagerank(spark, sf):
     """Entity-importance PageRank over the order→part KG projection
     (kgspark/operators/centrality.py). Fixed-point bigint arithmetic —
@@ -1115,6 +1137,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "url_dedup": q_url_dedup,
         "pii_redact": q_pii_redact,
         "pagerank_centrality": q_pagerank,
+        "kcore": q_kcore,
         "triangle_stats": q_triangle_stats,
         "chunk_documents": q_chunk_documents,
         "pack_sequences": q_pack_sequences,
@@ -1235,7 +1258,15 @@ def oracle_sql() -> dict[str, str]:
         "FROM lineitem a JOIN lineitem b ON a.l_orderkey = b.l_orderkey "
         "AND a.l_partkey < b.l_partkey WHERE a.l_orderkey <= 100"
     )
+    from kgspark.operators.graphstats import kcore_oracle_sql
+    kcore_oracle = kcore_oracle_sql(
+        "SELECT 'p' || a.l_partkey AS src, 'p' || b.l_partkey AS dst "
+        "FROM lineitem a JOIN lineitem b ON a.l_orderkey = b.l_orderkey "
+        "AND a.l_partkey < b.l_partkey WHERE a.l_orderkey <= 100",
+        n_iter=6,
+    )
     return {
+        "kcore": kcore_oracle,
         "c2_label_propagation": c2_oracle,
         "pagerank_centrality": pr_oracle,
         "triangle_stats": tri_oracle,

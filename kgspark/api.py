@@ -386,6 +386,16 @@ class KGSpark:
 
         return triangle_stats(self._edges_or_raise())
 
+    def kcore(self, n_iter: int | None = None, max_iter: int = 64) -> DataFrame:
+        """Per-entity core number → (node, core) — cohesion depth of each
+        entity's neighborhood (operators/graphstats.py kcore_numbers;
+        distributed h-index iteration). Default runs to convergence;
+        pass n_iter for a fixed deterministic schedule."""
+        from kgspark.operators.graphstats import kcore_numbers
+
+        return kcore_numbers(self._edges_or_raise(), n_iter=n_iter,
+                             max_iter=max_iter)
+
     def _edges_or_raise(self) -> DataFrame:
         # read ONLY the edges table — self.graph() would scan every store
         # table (episodes, nodes, communities, …) just to hand back one

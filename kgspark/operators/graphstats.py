@@ -166,3 +166,118 @@ def triangle_stats_oracle_sql(edges_sql: str) -> str:
         FROM deg LEFT JOIN per_node ON per_node.node = deg.node
         ORDER BY deg.node
     """
+
+
+def kcore_numbers(
+    edges: DataFrame,
+    src: str = "source_node_uuid",
+    dst: str = "target_node_uuid",
+    n_iter: int | None = None,
+    max_iter: int = 64,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Per-node core number ``(node, core)`` by distributed h-index
+    iteration (Montresor, De Pellegrini & Miorandi, "Distributed k-Core
+    Decomposition", IEEE TPDS 2013 — public): est₀(v) = degree(v);
+    est_{t+1}(v) = h-index of {est_t(u) : u ∈ N(v)} — the largest h such
+    that ≥ h neighbors currently estimate ≥ h. Estimates are monotone
+    non-increasing and the fixpoint is exactly the core number.
+
+    ``n_iter`` fixed → deterministic unrolled schedule (cross-engine
+    oracle parity, like community.label_propagation); ``None`` → run to
+    convergence with a 1-row change probe per round, raising after
+    ``max_iter`` rather than returning an unconverged labeling (the
+    connected_components contract, dedup.py). Convergence is fast on
+    dense regions but O(diameter) on path-like tails (a lowered
+    estimate walks inward one hop per round) — web co-occurrence
+    graphs are short-diameter, but pick ``n_iter`` ≥ the longest
+    induced path you care about, or use the converge-checked mode.
+
+    Scale shape: the symmetric adjacency — the big side — is
+    hash-partitioned on the neighbor key ONCE and persisted; per round
+    only the slim (node, est) vector shuffles (pagerank pattern,
+    centrality.py). The h-index needs each node's neighbor estimates
+    ranked, which is a per-node window sort — hub partitions sort
+    deg(hub) slim rows and spill if huge; no driver-side state, no
+    collected arrays.
+    """
+    und = simple_undirected(edges, src, dst)
+    adj = und.select(F.col("u").alias("a"), F.col("v").alias("b")).unionByName(
+        und.select(F.col("v").alias("a"), F.col("u").alias("b"))
+    )
+    adj = (adj.repartition(num_partitions, "b") if num_partitions
+           else adj.repartition("b")).persist()
+    adj.count()  # materialize once; every round reuses the same blocks
+
+    est = adj.groupBy(F.col("a").alias("id")).agg(
+        F.count("*").cast("long").alias("est")
+    ).localCheckpoint()
+
+    from pyspark.sql import Window
+
+    rounds = 0
+    while True:
+        nb = adj.join(est.withColumnRenamed("id", "b"), "b").select("a", "est")
+        w = Window.partitionBy("a").orderBy(F.desc("est"))
+        new = (
+            nb.withColumn("rn", F.row_number().over(w))
+            .select("a", F.least(F.col("rn").cast("long"), F.col("est")).alias("m"))
+            .groupBy("a")
+            .agg(F.max("m").alias("new_est"))
+            .select(F.col("a").alias("id"), F.col("new_est").alias("est"))
+            .localCheckpoint()
+        )
+        rounds += 1
+        if n_iter is not None:
+            est = new
+            if rounds >= n_iter:
+                break
+            continue
+        changed = (
+            est.withColumnRenamed("est", "old")
+            .join(new, "id")
+            .where("old != est")
+            .limit(1)
+            .count()
+        )
+        est = new
+        if changed == 0:
+            break
+        if rounds >= max_iter:
+            adj.unpersist()
+            raise RuntimeError(
+                f"kcore_numbers: no fixpoint after {max_iter} h-index rounds"
+            )
+    adj.unpersist()
+    return est.select(F.col("id").alias("node"), F.col("est").alias("core"))
+
+
+def kcore_oracle_sql(edges_sql: str, n_iter: int) -> str:
+    """ANSI-SQL replay for DuckDB: the same ``n_iter`` h-index rounds
+    unrolled as chained CTEs (the label_propagation oracle convention).
+    ``edges_sql`` must yield (src, dst); output (node, core) is integer
+    so the value hash is exact."""
+    ctes = [
+        f"""e0 AS ({edges_sql}),
+        und AS (
+          SELECT DISTINCT least(src, dst) AS u, greatest(src, dst) AS v
+          FROM e0 WHERE src <> dst
+        ),
+        adj AS (
+          SELECT u AS a, v AS b FROM und
+          UNION ALL SELECT v AS a, u AS b FROM und
+        ),
+        est0 AS (SELECT a AS id, count(*) AS est FROM adj GROUP BY a)"""
+    ]
+    for r in range(1, n_iter + 1):
+        ctes.append(f"""est{r} AS (
+          SELECT a AS id, max(least(rn, est)) AS est FROM (
+            SELECT adj.a, e.est,
+                   row_number() OVER (PARTITION BY adj.a
+                                      ORDER BY e.est DESC) AS rn
+            FROM adj JOIN est{r - 1} e ON adj.b = e.id
+          ) t GROUP BY a
+        )""")
+    return ("WITH " + ",\n".join(ctes)
+            + f"\nSELECT id AS node, CAST(est AS BIGINT) AS core "
+              f"FROM est{n_iter} ORDER BY node")

@@ -106,6 +106,10 @@ def test_analytics_surface(kg):
     stats = {r["node"]: r["degree"] for r in kg.graph_stats().collect()}
     assert endpoints <= set(stats) and set(pr) == endpoints
     assert all(d >= 1 for d in stats.values())
+    cores = {r["node"]: r["core"] for r in kg.kcore().collect()}
+    # every edge endpoint gets a core number, 1 ≤ core ≤ degree
+    assert set(cores) == set(stats)
+    assert all(1 <= cores[n] <= stats[n] for n in cores)
 
 
 def test_analytics_on_empty_store_raises_clearly(spark, tmp_path):

@@ -75,3 +75,47 @@ def test_oracle_sql_matches_spark_in_duckdb(spark):
         triangle_stats_oracle_sql("SELECT src, dst FROM et")).fetchall()}
     want = {n: (d, t) for n, (d, t, _) in _stats(spark, edges).items()}
     assert {k: (int(d), int(t)) for k, (d, t) in got.items()} == want
+
+
+def _cores(spark, pairs, **kw):
+    from kgspark.operators.graphstats import kcore_numbers
+
+    df = spark.createDataFrame(pairs, ["source_node_uuid", "target_node_uuid"])
+    return {r["node"]: r["core"] for r in kcore_numbers(df, **kw).collect()}
+
+
+def test_kcore_clique_with_tail(spark):
+    # K4 (core 3) with a path tail d-e-f (core 1): d is in K4
+    k4 = [(a, b) for a in "abcd" for b in "abcd" if a < b]
+    got = _cores(spark, k4 + [("d", "e"), ("e", "f")])
+    assert got == {"a": 3, "b": 3, "c": 3, "d": 3, "e": 1, "f": 1}
+
+
+def test_kcore_two_triangles_bridge(spark):
+    # two triangles joined by a bridge: every triangle node core 2
+    pairs = [("a", "b"), ("b", "c"), ("a", "c"),
+             ("x", "y"), ("y", "z"), ("x", "z"), ("c", "x")]
+    got = _cores(spark, pairs)
+    assert got == {n: 2 for n in "abcxyz"}
+
+
+def test_kcore_fixed_schedule_matches_converged(spark):
+    # h-index estimates are monotone; once converged, extra rounds no-op —
+    # a fixed n_iter ≥ convergence rounds equals the fixpoint
+    # path: all core 1; h-index convergence on a path takes ~len/2 rounds
+    # (the 1-estimates walk inward one hop per round), so n_iter must
+    # cover the diameter — 5 rounds suffice for 9 nodes, not for 13
+    pairs = [(f"n{i}", f"n{i+1}") for i in range(8)]
+    assert _cores(spark, pairs, n_iter=5) == {f"n{i}": 1 for i in range(9)}
+    long = [(f"n{i}", f"n{i+1}") for i in range(12)]
+    assert _cores(spark, long) == {f"n{i}": 1 for i in range(13)}
+
+
+def test_kcore_max_iter_raises(spark):
+    import pytest as _pytest
+
+    # a 13-node path needs ~6 rounds; max_iter=1 must abort, not return
+    # the half-converged estimates
+    pairs = [(f"n{i}", f"n{i+1}") for i in range(12)]
+    with _pytest.raises(RuntimeError, match="no fixpoint"):
+        _cores(spark, pairs, max_iter=1)

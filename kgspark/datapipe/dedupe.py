@@ -271,7 +271,12 @@ def strip_dup_spans(
     per_doc = spans.groupBy(F.col("doc_id").alias(id_col)).agg(
         F.collect_list(F.struct("span_start", "span_end")).alias("_spans")
     )
-    toks = df.select(F.col(id_col), tokenize(F.col(text_col)).alias("_t"))
+    # NULL text -> empty token array (legacy size(NULL) is -1; a NULL-text
+    # doc must come out as ("", 0), not (NULL, -1) — the pack.py contract)
+    toks = df.select(
+        F.col(id_col),
+        F.coalesce(tokenize(F.col(text_col)), F.array().cast("array<string>")).alias("_t"),
+    )
     joined = toks.join(per_doc, id_col, "left")
     kept = F.when(F.col("_spans").isNull(), F.col("_t")).otherwise(
         F.transform(

@@ -599,3 +599,17 @@ def test_substring_dup_spans_matches_reference_impl(spark):
         got_marks.update((r["doc_id"], t)
                          for t in range(r["span_start"], r["span_end"] + 1))
     assert got_marks == expect_marks
+
+
+def test_strip_dup_spans_null_text(spark):
+    from kgspark.datapipe.dedupe import strip_dup_spans, substring_dup_spans
+
+    df = spark.createDataFrame(
+        [(0, "a b c d e f g h"), (1, "a b c d e f g h"), (2, None)],
+        "doc_id long, text string",
+    )
+    spans = substring_dup_spans(df, "doc_id", "text", k=8)
+    out = {r["doc_id"]: r for r in
+           strip_dup_spans(df, spans, "doc_id", "text").collect()}
+    assert out[2]["dedup_text"] == "" and out[2]["n_tokens_kept"] == 0
+    assert out[1]["n_tokens_kept"] == 0 and out[0]["n_tokens_kept"] == 8

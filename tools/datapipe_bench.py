@@ -7,8 +7,10 @@ synthetic corpus (same deterministic generator as the scaling harness) and
 k-core + PageRank over the KG built from a 100k-doc slice, reporting walls
 and per-op throughput. Writes BENCH_DATAPIPE.json.
 
-Usage: python tools/datapipe_bench.py [n_docs] [cpus]
-Defaults: 600000 docs, 8 cpus (under-subscribed per BASELINE fact 8).
+Usage: python tools/datapipe_bench.py [n_docs] [cpus] [repeats]
+Defaults: 600000 docs, 8 cpus (under-subscribed per BASELINE fact 8),
+repeats 2 — per-op min + all runs reported (minutes-scale host
+co-tenancy swings single shots up to 3.5×; see BENCH_SCALING_600K_STAGES).
 """
 
 from __future__ import annotations
@@ -24,6 +26,7 @@ sys.path.insert(0, "/root/repo")
 def main() -> None:
     n_docs = int(sys.argv[1]) if len(sys.argv) > 1 else 600_000
     cpus = int(sys.argv[2]) if len(sys.argv) > 2 else 8
+    repeats = int(sys.argv[3]) if len(sys.argv) > 3 else 2
     from pyspark.sql import functions as F
 
     from kgspark.functions.text import html_to_text
@@ -43,12 +46,15 @@ def main() -> None:
     )
     res: dict[str, dict] = {}
 
-    def timed(name: str, fn) -> None:
-        t0 = time.perf_counter()
-        rows = fn()
-        wall = round(time.perf_counter() - t0, 3)
-        res[name] = {"wall_s": wall, "rows_out": rows,
-                     "docs_per_sec": round(n_docs / wall, 1)}
+    def timed(name: str, fn, denom: int = 0, rate_key: str = "docs_per_sec") -> None:
+        walls, rows = [], None
+        for _ in range(repeats):
+            t0 = time.perf_counter()
+            rows = fn()
+            walls.append(round(time.perf_counter() - t0, 3))
+        wall = min(walls)
+        res[name] = {"wall_s": wall, "runs": walls, "rows_out": rows,
+                     rate_key: round((denom or n_docs) / wall, 1)}
         print(name, res[name], flush=True)
 
     from kgspark.datapipe.dedupe import (
@@ -79,17 +85,12 @@ def main() -> None:
     edges = g["edges"].select("source_node_uuid", "target_node_uuid") \
         .localCheckpoint(eager=True)
     n_edges = edges.count()
-    for name, fn in (
-        ("pagerank_10iter", lambda: pagerank(edges, n_iter=10).count()),
-        ("kcore_converged", lambda: kcore_numbers(edges).count()),
-        ("triangle_stats", lambda: triangle_stats(edges).count()),
-    ):
-        t0 = time.perf_counter()
-        rows = fn()
-        wall = round(time.perf_counter() - t0, 3)
-        res[name] = {"wall_s": wall, "rows_out": rows,
-                     "edges_per_sec": round(n_edges / wall, 1)}
-        print(name, res[name], flush=True)
+    timed("pagerank_10iter", lambda: pagerank(edges, n_iter=10).count(),
+          denom=n_edges, rate_key="edges_per_sec")
+    timed("kcore_converged", lambda: kcore_numbers(edges).count(),
+          denom=n_edges, rate_key="edges_per_sec")
+    timed("triangle_stats", lambda: triangle_stats(edges).count(),
+          denom=n_edges, rate_key="edges_per_sec")
 
     out = {
         "metric": "datapipe_ops_600k",

@@ -101,8 +101,9 @@ CHECKS = {
     "substring_dedup": [
         ("xxhash64", "grams hash to 64 bits inside the projection — the "
                      "gram strings never shuffle, only (doc_id,pos,hash)"),
-        ("partial_min", "repeat detection is a two-phase agg: map-side "
-                        "partial count + min-struct before the one exchange"),
+        ("Window", "repeat detection is ONE exchange into hash partitions "
+                   "+ a window pass — the tokenize/gram projection runs "
+                   "exactly once (no groupBy+join-back recompute)"),
         ("!EvalPython", "gram generation is native transform/slice/xxhash64 "
                         "— no Python anywhere"),
         ("ReadSchema: struct<doc_id:bigint,text", "column pruning at the "

@@ -272,10 +272,14 @@ def strip_dup_spans(
     canonical copy survives elsewhere in the corpus by construction).
 
     One join (broadcast-eligible: spans aggregate to one row per affected
-    doc); the positional token filter is a codegen array lambda — no Python,
-    no extra shuffle. Reconstructed text is token-joined (tokenizer-lossy
-    w.r.t. original punctuation/whitespace, like the reference fulltext
-    normalization, search_utils.py:59-76).
+    doc); the kept text is assembled by slicing the GAPS between the
+    sorted spans — O(n_tokens + n_spans) per document in a codegen array
+    lambda (a per-token exists() over the span list would be
+    O(n_tokens × n_spans), quadratic on exactly the boilerplate-heavy
+    documents dedup targets). No Python, no extra shuffle. Reconstructed
+    text is token-joined (tokenizer-lossy w.r.t. original
+    punctuation/whitespace, like the reference fulltext normalization,
+    search_utils.py:59-76).
 
     Returns (id_col, dedup_text, n_tokens_kept).
     """
@@ -288,21 +292,20 @@ def strip_dup_spans(
         F.col(id_col),
         F.coalesce(tokenize(F.col(text_col)), F.array().cast("array<string>")).alias("_t"),
     )
-    joined = toks.join(per_doc, id_col, "left")
-    kept = F.when(F.col("_spans").isNull(), F.col("_t")).otherwise(
-        F.transform(
-            F.filter(
-                F.transform(
-                    F.col("_t"), lambda x, i: F.struct(x.alias("x"), (i + 1).alias("p"))
-                ),
-                lambda s: ~F.exists(
-                    F.col("_spans"),
-                    lambda sp: s["p"].between(sp["span_start"], sp["span_end"]),
-                ),
-            ),
-            lambda s: s["x"],
-        )
+    joined = toks.join(per_doc, id_col, "left").withColumn(
+        "_sp", F.array_sort("_spans")  # struct order = (span_start, ...)
     )
+    # gap i spans (prev_end+1 .. next_start-1); gaps 0 and n are the
+    # prefix before the first span and the suffix after the last
+    gaps = F.expr(
+        "flatten(transform(sequence(0, size(_sp)), i -> slice(_t, "
+        " CASE WHEN i = 0 THEN 1 ELSE element_at(_sp, i).span_end + 1 END, "
+        " greatest((CASE WHEN i = size(_sp) THEN size(_t) "
+        "           ELSE element_at(_sp, i + 1).span_start - 1 END) "
+        "          - (CASE WHEN i = 0 THEN 1 "
+        "             ELSE element_at(_sp, i).span_end + 1 END) + 1, 0))))"
+    )
+    kept = F.when(F.col("_spans").isNull(), F.col("_t")).otherwise(gaps)
     return joined.select(
         id_col,
         F.array_join(kept, " ").alias("dedup_text"),

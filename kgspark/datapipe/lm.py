@@ -55,9 +55,9 @@ def _bigrams(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     ).select("doc_id", "b.w1", "b.w2")
 
 
-def bigram_lm(train: DataFrame, id_col: str, text_col: str, alpha: float = 0.5):
-    """Train the smoothed bigram LM: returns a per-distinct-bigram table
-    (w1, w2, lp_micro) with lp fixed-pointed to micro-nats (bigint)."""
+def _count_tables(train: DataFrame, id_col: str, text_col: str):
+    """Training-corpus count tables: uni (w, cw), vdf (1-row v), bcnt
+    (w1, w2, cb) — each a single map-side-combinable groupBy."""
     toks = train.select(tokenize(F.col(text_col)).alias("_t"))
     uni = (
         toks.select(F.explode("_t").alias("w"))
@@ -68,19 +68,30 @@ def bigram_lm(train: DataFrame, id_col: str, text_col: str, alpha: float = 0.5):
     bcnt = _bigrams(train, id_col, text_col).groupBy("w1", "w2").agg(
         F.count("*").alias("cb")
     )
+    return uni, vdf, bcnt
+
+
+def _lp_micro(cb, cw, alpha: float):
+    """The ONE smoothing formula, fixed-pointed to micro-nats; every LM
+    path (self-trained, external-trained, unseen floor) routes through
+    here so they cannot diverge. Expects a `v` column in scope."""
+    return (
+        F.round(
+            F.log((cb + F.lit(alpha)) / (cw + F.lit(alpha) * F.col("v")))
+            * F.lit(1e6)
+        ).cast("long")
+    )
+
+
+def bigram_lm(train: DataFrame, id_col: str, text_col: str, alpha: float = 0.5):
+    """Train the smoothed bigram LM: returns a per-distinct-bigram table
+    (w1, w2, lp_micro) with lp fixed-pointed to micro-nats (bigint)."""
+    uni, vdf, bcnt = _count_tables(train, id_col, text_col)
     return (
         bcnt.join(uni.withColumnRenamed("w", "w1"), "w1")
         .crossJoin(vdf)
-        .select(
-            "w1",
-            "w2",
-            F.round(
-                F.log((F.col("cb") + F.lit(alpha)) / (F.col("cw") + F.lit(alpha) * F.col("v")))
-                * F.lit(1e6)
-            )
-            .cast("long")
-            .alias("lp_micro"),
-        )
+        .select("w1", "w2",
+                _lp_micro(F.col("cb"), F.col("cw"), alpha).alias("lp_micro"))
     )
 
 
@@ -108,39 +119,28 @@ def lm_nll_scores(
             .join(lm, ["w1", "w2"])  # self-trained: every bigram is in the LM
         )
     else:
-        toks = train.select(tokenize(F.col(text_col)).alias("_t"))
-        uni = (
-            toks.select(F.explode("_t").alias("w"))
-            .groupBy("w")
-            .agg(F.count("*").alias("cw"))
-        )
-        vdf = uni.agg(F.count("*").alias("v"))
-        bcnt = _bigrams(train, id_col, text_col).groupBy("w1", "w2").agg(
-            F.count("*").alias("cb")
-        )
+        uni, vdf, bcnt = _count_tables(train, id_col, text_col)
         occ = (
             _bigrams(df, id_col, text_col)
             .groupBy("doc_id", "w1", "w2")
             .agg(F.count("*").alias("n"))
+        )
+        # log-probs once per DISTINCT scored bigram (vocab²-bounded), not
+        # per (doc, bigram) row — unseen counts coalesce to 0 so the
+        # unseen-bigram and unseen-w1 floors fall out of the same formula
+        lp = (
+            occ.select("w1", "w2").distinct()
             .join(bcnt, ["w1", "w2"], "left")
             .join(uni.withColumnRenamed("w", "w1"), "w1", "left")
             .crossJoin(vdf)
             .select(
-                "doc_id",
-                "w1",
-                "w2",
-                "n",
-                F.round(
-                    F.log(
-                        (F.coalesce("cb", F.lit(0)) + F.lit(alpha))
-                        / (F.coalesce("cw", F.lit(0)) + F.lit(alpha) * F.col("v"))
-                    )
-                    * F.lit(1e6)
-                )
-                .cast("long")
-                .alias("lp_micro"),
+                "w1", "w2",
+                _lp_micro(
+                    F.coalesce("cb", F.lit(0)), F.coalesce("cw", F.lit(0)), alpha
+                ).alias("lp_micro"),
             )
         )
+        occ = occ.join(lp, ["w1", "w2"])
     return (
         occ.groupBy("doc_id")
         .agg(

@@ -201,6 +201,8 @@ def kcore_numbers(
     deg(hub) slim rows and spill if huge; no driver-side state, no
     collected arrays.
     """
+    if n_iter is not None and n_iter < 1:
+        raise ValueError("n_iter must be >= 1 (or None for convergence)")
     und = simple_undirected(edges, src, dst)
     adj = und.select(F.col("u").alias("a"), F.col("v").alias("b")).unionByName(
         und.select(F.col("v").alias("a"), F.col("u").alias("b"))
@@ -209,11 +211,18 @@ def kcore_numbers(
            else adj.repartition("b")).persist()
     adj.count()  # materialize once; every round reuses the same blocks
 
+    from pyspark.sql import Window
+
+    try:
+        return _kcore_loop(adj, n_iter, max_iter, Window)
+    finally:
+        adj.unpersist()  # also on per-round job failure — no cache leak
+
+
+def _kcore_loop(adj, n_iter, max_iter, Window):
     est = adj.groupBy(F.col("a").alias("id")).agg(
         F.count("*").cast("long").alias("est")
     ).localCheckpoint()
-
-    from pyspark.sql import Window
 
     rounds = 0
     while True:
@@ -244,11 +253,11 @@ def kcore_numbers(
         if changed == 0:
             break
         if rounds >= max_iter:
-            adj.unpersist()
             raise RuntimeError(
                 f"kcore_numbers: no fixpoint after {max_iter} h-index rounds"
             )
-    adj.unpersist()
+    # est is localCheckpoint-materialized: safe for the caller's finally
+    # to unpersist adj before the returned frame is consumed
     return est.select(F.col("id").alias("node"), F.col("est").alias("core"))
 
 
@@ -257,6 +266,8 @@ def kcore_oracle_sql(edges_sql: str, n_iter: int) -> str:
     unrolled as chained CTEs (the label_propagation oracle convention).
     ``edges_sql`` must yield (src, dst); output (node, core) is integer
     so the value hash is exact."""
+    if n_iter < 1:
+        raise ValueError("n_iter must be >= 1 (kcore_numbers contract)")
     ctes = [
         f"""e0 AS ({edges_sql}),
         und AS (

@@ -613,3 +613,39 @@ def test_strip_dup_spans_null_text(spark):
            strip_dup_spans(df, spans, "doc_id", "text").collect()}
     assert out[2]["dedup_text"] == "" and out[2]["n_tokens_kept"] == 0
     assert out[1]["n_tokens_kept"] == 0 and out[0]["n_tokens_kept"] == 8
+
+
+def test_strip_dup_spans_gap_slicing_matches_filter_reference(spark):
+    """The linear gap-slicing formulation equals a per-token filter
+    reference on randomized multi-span documents (incl. spans at the
+    very start and end of a doc)."""
+    import random
+
+    from kgspark.datapipe.dedupe import strip_dup_spans
+
+    rng = random.Random(11)
+    docs, span_rows, expect = [], [], {}
+    for did in range(20):
+        n = rng.randint(0, 30)
+        toks = [f"t{did}x{j}" for j in range(n)]  # alnum-only: tokenize-stable
+        docs.append((did, " ".join(toks)))
+        # random non-overlapping spans (1-based, inclusive)
+        spans, p = [], 1
+        while p <= n:
+            if rng.random() < 0.4:
+                e = min(n, p + rng.randint(0, 4))
+                spans.append((p, e))
+                p = e + 2
+            else:
+                p += 1
+        for s, e in spans:
+            span_rows.append((did, s, e))
+        keep = [t for j, t in enumerate(toks, start=1)
+                if not any(s <= j <= e for s, e in spans)]
+        expect[did] = " ".join(keep)
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    spans_df = spark.createDataFrame(
+        span_rows, "doc_id long, span_start long, span_end long")
+    out = {r["doc_id"]: r["dedup_text"] for r in
+           strip_dup_spans(df, spans_df, "doc_id", "text").collect()}
+    assert out == expect

@@ -20,7 +20,8 @@ import os
 import sys
 import time
 
-sys.path.insert(0, "/root/repo")
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
 
 
 def main() -> None:
@@ -100,7 +101,7 @@ def main() -> None:
         "kg_edges": n_edges,
         "ops": res,
     }
-    with open(os.path.join("/root/repo", "BENCH_DATAPIPE.json"), "w") as f:
+    with open(os.path.join(REPO, "BENCH_DATAPIPE.json"), "w") as f:
         json.dump(out, f, indent=2)
     print(json.dumps(out))
 

@@ -295,6 +295,27 @@ def strip_dup_spans(
     joined = toks.join(per_doc, id_col, "left").withColumn(
         "_sp", F.array_sort("_spans")  # struct order = (span_start, ...)
     )
+    # The gap-slice below requires sorted spans to be pairwise DISJOINT
+    # (true for substring_dup_spans output — merged maximal spans); a
+    # span nested inside an earlier, longer one would otherwise restart
+    # the gap at the inner span's end and leak covered tokens back into
+    # dedup_text. Guard the public signature: an O(n_spans) adjacent-pair
+    # check keeps the hot path linear, and only offending rows pay the
+    # O(n_spans²) fold that merges overlaps (running max of span_end).
+    disjoint = F.expr(
+        "forall(zip_with(slice(_sp, 1, greatest(size(_sp) - 1, 0)), "
+        "slice(_sp, 2, greatest(size(_sp) - 1, 0)), "
+        "(a, b) -> b.span_start > a.span_end), x -> x)"
+    )
+    merged = F.expr(
+        "aggregate(slice(_sp, 2, greatest(size(_sp) - 1, 0)), slice(_sp, 1, 1), "
+        "(acc, s) -> CASE WHEN s.span_start > element_at(acc, -1).span_end "
+        "THEN concat(acc, array(s)) "
+        "ELSE concat(slice(acc, 1, size(acc) - 1), array(named_struct("
+        "'span_start', element_at(acc, -1).span_start, "
+        "'span_end', greatest(element_at(acc, -1).span_end, s.span_end)))) END)"
+    )
+    joined = joined.withColumn("_sp", F.when(disjoint, F.col("_sp")).otherwise(merged))
     # gap i spans (prev_end+1 .. next_start-1); gaps 0 and n are the
     # prefix before the first span and the suffix after the last
     gaps = F.expr(

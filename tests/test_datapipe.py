@@ -615,6 +615,52 @@ def test_strip_dup_spans_null_text(spark):
     assert out[1]["n_tokens_kept"] == 0 and out[0]["n_tokens_kept"] == 8
 
 
+def test_strip_dup_spans_overlapping_and_nested_spans(spark):
+    """The public signature accepts arbitrary spans: overlapping and
+    fully-nested spans must be merged (running max of span_end), not
+    leak covered tokens back into dedup_text (ADVICE r4)."""
+    import random
+
+    from kgspark.datapipe.dedupe import strip_dup_spans
+
+    # hand-built pathological cases: nested (2..9 contains 4..5),
+    # overlapping (3..6 with 5..8), duplicate spans, touching spans
+    docs = [(0, " ".join(f"a{j}" for j in range(12))),
+            (1, " ".join(f"b{j}" for j in range(10))),
+            (2, " ".join(f"c{j}" for j in range(8)))]
+    span_rows = [(0, 2, 9), (0, 4, 5),          # nested
+                 (1, 3, 6), (1, 5, 8),          # overlapping
+                 (2, 1, 2), (2, 1, 2), (2, 3, 4)]  # duplicate + adjacent
+    expect = {}
+    for did, text in docs:
+        toks = text.split()
+        spans = [(s, e) for d, s, e in span_rows if d == did]
+        keep = [t for j, t in enumerate(toks, start=1)
+                if not any(s <= j <= e for s, e in spans)]
+        expect[did] = " ".join(keep)
+    # plus randomized overlapping spans across 15 docs
+    rng = random.Random(7)
+    for did in range(3, 18):
+        n = rng.randint(1, 25)
+        toks = [f"t{did}x{j}" for j in range(n)]
+        docs.append((did, " ".join(toks)))
+        spans = []
+        for _ in range(rng.randint(1, 6)):
+            s = rng.randint(1, n)
+            e = min(n, s + rng.randint(0, 6))
+            spans.append((s, e))
+            span_rows.append((did, s, e))
+        keep = [t for j, t in enumerate(toks, start=1)
+                if not any(s <= j <= e for s, e in spans)]
+        expect[did] = " ".join(keep)
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    spans_df = spark.createDataFrame(
+        span_rows, "doc_id long, span_start long, span_end long")
+    out = {r["doc_id"]: r["dedup_text"] for r in
+           strip_dup_spans(df, spans_df, "doc_id", "text").collect()}
+    assert out == expect
+
+
 def test_strip_dup_spans_gap_slicing_matches_filter_reference(spark):
     """The linear gap-slicing formulation equals a per-token filter
     reference on randomized multi-span documents (incl. spans at the

@@ -111,6 +111,34 @@ def test_kcore_fixed_schedule_matches_converged(spark):
     assert _cores(spark, long) == {f"n{i}": 1 for i in range(13)}
 
 
+def test_kcore_q_kcore_graph_converges_within_6(spark):
+    # the q_kcore oracle query runs a FIXED 6-round schedule for
+    # cross-engine parity; assert that on its exact graph (sf0.01
+    # lineitem part co-occurrence, l_orderkey <= 100) the converged
+    # fixpoint equals the 6-round output — i.e. 6 rounds genuinely
+    # cover convergence there, not just on synthetic paths/cliques
+    from pyspark.sql import functions as F
+
+    from kgspark.operators.graphstats import kcore_numbers
+
+    li = (spark.read.parquet("/root/testdata/sf0.01/lineitem.parquet")
+          .where(F.col("l_orderkey") <= 100)
+          .select("l_orderkey", "l_partkey"))
+    a, b = li.alias("a"), li.alias("b")
+    co = a.join(
+        b, (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+        & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+    ).select(
+        F.concat(F.lit("p"), F.col("a.l_partkey")).alias("source_node_uuid"),
+        F.concat(F.lit("p"), F.col("b.l_partkey")).alias("target_node_uuid"),
+    )
+    fixed = {r["node"]: r["core"]
+             for r in kcore_numbers(co, n_iter=6, num_partitions=8).collect()}
+    conv = {r["node"]: r["core"]
+            for r in kcore_numbers(co, num_partitions=8).collect()}
+    assert fixed == conv and len(fixed) > 0
+
+
 def test_kcore_max_iter_raises(spark):
     import pytest as _pytest
 

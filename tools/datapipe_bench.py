@@ -27,7 +27,8 @@ sys.path.insert(0, REPO)
 def main() -> None:
     n_docs = int(sys.argv[1]) if len(sys.argv) > 1 else 600_000
     cpus = int(sys.argv[2]) if len(sys.argv) > 2 else 8
-    repeats = int(sys.argv[3]) if len(sys.argv) > 3 else 2
+    # clamp: repeats=0 would crash min([]) in timed() below
+    repeats = max(1, int(sys.argv[3])) if len(sys.argv) > 3 else 2
     from pyspark.sql import functions as F
 
     from kgspark.functions.text import html_to_text

@@ -35,7 +35,8 @@ def main() -> None:
     repeats = int(sys.argv[2]) if len(sys.argv) > 2 else 2
     path = os.path.join(REPO, path)
     art = json.load(open(path))
-    lo, hi = sorted(int(k[5:]) for k in art if k.startswith("local"))
+    legs = sorted(int(k[5:]) for k in art if k.startswith("local"))
+    lo, hi = legs[0], legs[-1]  # resample the highest leg even if >2 present
     n_docs = art["n_docs"]
     small = n_docs // 4
     leg = art[f"local{hi}"]

@@ -1050,13 +1050,16 @@ def _image_decode_frame(spark, sf):
 
 def _audio_decode_frame(spark):
     """Known-answer audio decode: deterministic square waves
-    (amplitude/length/period fixed by id) encoded as real 16-bit WAV,
-    decoded through the audio_features mapInPandas path. n_samples, RMS
-    (= amplitude exactly for a square wave) and zero-crossing count all
-    follow from the construction formula, which the oracle restates in
-    SQL independent of the decoder."""
+    (amplitude/length/period fixed by id) encoded as real 16-bit WAV
+    (even ids) or real FLAC (odd ids — Rice+LPC losslessly decoded by
+    the pure-numpy flaccodec.py, RFC 9639), decoded through the
+    audio_features mapInPandas path. n_samples, RMS (= amplitude exactly
+    for a square wave; FLAC is lossless so this holds bit-for-bit) and
+    zero-crossing count all follow from the construction formula, which
+    the oracle restates in SQL independent of both decoders."""
     import pandas as pd
 
+    from kgspark.datapipe.flaccodec import encode_flac
     from kgspark.datapipe.multimodal import audio_features, encode_wav
 
     def gen(batches):
@@ -1071,7 +1074,8 @@ def _audio_decode_frame(spark):
                 sq = np.tile(np.concatenate(
                     [np.full(16, amp, np.int16),
                      np.full(16, -amp, np.int16)]), (m + 1) // 2)[: 16 * m]
-                rows.append((i, bytearray(encode_wav(sq))))
+                enc = encode_wav(sq) if i % 2 == 0 else encode_flac(sq)
+                rows.append((i, bytearray(enc)))
             yield pd.DataFrame(rows, columns=["id", "payload"])
 
     payloads = spark.range(120).repartition(8).mapInPandas(

@@ -4,13 +4,14 @@ frame-sample as Arrow-batched `mapInPandas` stages.
 
 Decode support is format-sniffed from magic bytes:
 - REAL decoders (no external codec libs needed): WAV (stdlib ``wave``),
-  PNG (stdlib ``zlib`` inflate + numpy unfiltering), GIF (pure-Python
-  LZW + numpy palette), baseline AND progressive JPEG (pure-numpy
-  Huffman + IDCT + T.81 G.1.2 successive approximation,
+  FLAC — lossless compressed audio, pure-numpy Rice+LPC per RFC 9639
+  (`flaccodec.py`), PNG (stdlib ``zlib`` inflate + numpy unfiltering),
+  GIF (pure-Python LZW + numpy palette), baseline AND progressive JPEG
+  (pure-numpy Huffman + IDCT + T.81 G.1.2 successive approximation,
   `jpegcodec.py`), PPM/PGM P6/P5 and uncompressed 24-bit BMP
   (pure numpy) — these run end-to-end on real bytes in tests.
-- The remaining codec format (MP3/AAC/... audio) has no decoder in
-  this container (no ffmpeg — perceptual audio coding is a genuine
+- Only PERCEPTUAL audio codecs (MP3/AAC/...) remain undecodable in
+  this container (no ffmpeg — psychoacoustic decoding is a genuine
   codec barrier): with ``FAKE_DECODE`` a deterministic fake (seeded
   from the content hash) keeps the Spark plumbing testable; without it
   it raises ``NotImplementedError`` at the documented plug point
@@ -32,7 +33,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-FAKE_DECODE = True  # applies ONLY to compressed audio (MP3/AAC/...)
+FAKE_DECODE = True  # applies ONLY to perceptual audio codecs (MP3/AAC/...)
 
 IMAGE_META = T.StructType([
     T.StructField("width", T.IntegerType()),
@@ -334,8 +335,16 @@ def _decode_image_bytes(content: bytes) -> np.ndarray:
 
 def _decode_audio_bytes(content: bytes) -> np.ndarray:
     """Format-sniffing audio decode → int32 mono sample array. WAV
-    decodes for real via stdlib ``wave``; compressed formats (MP3/...)
-    hit the plug point — replace with ffmpeg/librosa on a real cluster."""
+    (stdlib ``wave``) and FLAC (flaccodec.py, RFC 9639) decode for
+    real; only perceptual formats (MP3/AAC/...) hit the plug point —
+    replace with ffmpeg/librosa on a real cluster."""
+    if content[:4] == b"fLaC":
+        from kgspark.datapipe.flaccodec import decode_flac
+
+        samples = decode_flac(content).astype(np.int32)
+        if samples.ndim > 1:  # downmix to mono, same rule as WAV below
+            samples = samples.mean(axis=1).astype(np.int32)
+        return samples
     if content[:4] == b"RIFF" and content[8:12] == b"WAVE":
         with wave.open(io.BytesIO(content)) as wv:
             n, sw, ch = wv.getnframes(), wv.getsampwidth(), wv.getnchannels()

@@ -39,6 +39,8 @@ from __future__ import annotations
 import json
 from datetime import datetime, timedelta
 
+import pandas as pd
+
 USERS = ["amy", "ben", "cara", "dan", "elena", "farid",
          "gina", "hiro", "iris", "jon", "kim", "luis"]
 CITIES = ["Austin", "Denver", "Boston", "Seattle", "Miami", "Oslo",
@@ -262,3 +264,179 @@ def load_goldens(path: str) -> dict | None:
             return json.load(f)
     except FileNotFoundError:
         return None
+
+
+# ------------------------------------------------------------------
+# Homonym-splitting eval (VERDICT r4 item 8): measure split_homonyms'
+# precision/recall across a threshold sweep with a GENERIC semantic
+# embedder stand-in — a bag-of-words hash embedder (each token maps to a
+# deterministic ±1 vector seeded by its md5; mention context = mean) —
+# instead of the fixture-keyword embedder the unit tests inject. BOW
+# cosine approximates token-overlap, the weakest honest proxy for a real
+# sentence encoder: if the operating point holds here, a real encoder
+# (which separates topics far more sharply) only widens the margin.
+
+HOMONYM_THEMES = [
+    ("Nike", "basketball shoe brand campaign trains athletes court arena "
+             "sponsorship jersey"),
+    ("Berkeley", "chemistry professor lectures students lab research "
+                 "seminar thesis faculty tenure"),
+    ("Vogue", "fashion magazine editor reviews couture fabric designs "
+              "runway stylist photoshoot"),
+    ("NASA", "orbital launch engineers test rocket propulsion hardware "
+             "telemetry payload trajectory"),
+    ("Sony", "studio producer records film scores orchestras mixing "
+             "soundtrack session arrangement"),
+    ("Mayo", "clinic surgeon treats cardiac patients hospital wards "
+             "diagnosis recovery rounds"),
+    ("Deere", "farm equipment dealer services tractors harvesters "
+              "irrigation acreage silage grain"),
+    ("Interpol", "liaison officer coordinates border investigations "
+                 "warrants extradition casefiles jurisdictions"),
+]
+HOMONYM_NAMES = [
+    f"{first} {last}"
+    for first in ["Alex", "Sam", "Jordan", "Casey", "Riley"]
+    for last in ["Hart", "Bell", "Frost", "Vance", "Cole",
+                 "Lane", "Pike", "Wren"]
+]  # 40 names; the first 20 get two personas (true homonyms)
+N_HOMONYMS = 20
+HOMONYM_GROUP = "homonyms.example"
+
+
+def bow_hash_embedder(col):
+    """Column-function (text → array<float>): mean of per-token ±1
+    vectors, token seed = md5(token). Deterministic, vocabulary-free,
+    and *generic* — nothing in it knows the eval fixture."""
+    import numpy as np
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("array<float>")
+    def emb(texts: pd.Series) -> pd.Series:
+        import hashlib
+        import re
+
+        out = []
+        for t in texts:
+            toks = re.findall(r"[a-z0-9]+", (t or "").lower())
+            v = np.zeros(64)
+            for tok in toks:
+                seed = int.from_bytes(
+                    hashlib.md5(tok.encode()).digest()[:8], "big")
+                v += np.random.default_rng(seed).choice([-1.0, 1.0], size=64)
+            n = np.linalg.norm(v)
+            out.append((v / n if n else v).astype(np.float32))
+        return pd.Series(out)
+
+    return emb(col)
+
+
+def homonym_pages() -> list[dict]:
+    """Deterministic fixture: 40 same-group names × 6 mention pages.
+    Names 0..19 are TRUE homonyms — two personas with disjoint context
+    themes (3 pages each); names 20..39 are single entities whose 6
+    pages share one theme. Each page is exactly two sentences (the
+    extractor's summary window), name ≈ 2 of ~12 context tokens so the
+    shared surface name cannot dominate the context cosine."""
+    pages = []
+    for i, name in enumerate(HOMONYM_NAMES):
+        if i < N_HOMONYMS:
+            personas = [HOMONYM_THEMES[i % 8], HOMONYM_THEMES[(i + 3) % 8]]
+        else:
+            personas = [HOMONYM_THEMES[i % 8]]
+        for j in range(6):
+            emp, theme = personas[j % len(personas)]
+            words = theme.split()  # 10 theme words per pool
+            # each page sees a rotating 6-of-10 window of its theme, so
+            # two mentions of the SAME entity share only 2-6 theme
+            # tokens — a realistic partial-overlap negative class (the
+            # round-1 fixture repeated identical contexts, which made
+            # precision trivially 1.0 at every threshold)
+            start = (2 * j) % 10
+            varied = " ".join((words + words)[start:start + 6])
+            pages.append({
+                "url": f"https://{HOMONYM_GROUP}/{i}-{j}",
+                "warc_ts": T0 + timedelta(hours=i * 24 + j),
+                "html": None,
+                "text": f"{name} works at {emp}. The {varied}.",
+                "lang": "en",
+            })
+    return pages
+
+
+def run_homonym_eval(spark, thresholds=None) -> dict:
+    """Sweep split_homonyms thresholds over the homonym fixture and
+    report split precision / recall / mention purity per τ. Purity: for
+    each correctly-split name, the fraction of its 6 mentions whose
+    cluster agrees with the majority persona↔cluster matching."""
+    import pandas as pd
+
+    from pyspark.sql import functions as F
+
+    from kgspark.operators.disambig import split_homonyms
+    from kgspark.operators.extract import pages_to_episodes, run_extraction
+    from kgspark.schemas import PAGES
+
+    thresholds = thresholds or [0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8,
+                                0.9, 0.95]
+    pages = spark.createDataFrame(pd.DataFrame(homonym_pages()), PAGES)
+    ext = run_extraction(pages_to_episodes(pages))
+    episodes = ext.episodes.localCheckpoint()
+    # restrict to the person nodes under test (employers are bystanders)
+    person_norms = {n.lower() for n in HOMONYM_NAMES}
+    ext_nodes = ext.ext_nodes.where(
+        F.col("norm_name").isin(list(person_norms))).localCheckpoint()
+    ext.cached.unpersist()
+
+    # episode_uuid → (name index, persona index) truth, derived from the
+    # deterministic url scheme (sha1 content addressing, extract.py)
+    import hashlib as _h
+
+    truth = {}
+    for i in range(len(HOMONYM_NAMES)):
+        npersonas = 2 if i < N_HOMONYMS else 1
+        for j in range(6):
+            ep = _h.sha1(
+                f"episode:https://{HOMONYM_GROUP}/{i}-{j}".encode()).hexdigest()
+            truth[ep] = (i, j % npersonas)
+
+    norm_to_i = {n.lower(): i for i, n in enumerate(HOMONYM_NAMES)}
+    rows_by_tau = {}
+    for tau in thresholds:
+        smap = split_homonyms(ext_nodes, episodes, threshold=tau,
+                              embedder=bow_hash_embedder).collect()
+        by_name: dict[int, dict] = {}
+        node_norm = {r["uuid"]: r["norm_name"]
+                     for r in ext_nodes.select("uuid", "norm_name")
+                     .distinct().collect()}
+        for r in smap:
+            i = norm_to_i[node_norm[r["uuid"]]]
+            by_name.setdefault(i, {}).setdefault(
+                r["new_uuid"], []).append(r["episode_uuid"])
+        predicted = {i for i, cl in by_name.items() if len(cl) >= 2}
+        actual = set(range(N_HOMONYMS))
+        tp = predicted & actual
+        purities = []
+        for i in tp:
+            clusters = list(by_name[i].values())
+            # best persona↔cluster matching (2×2): direct or swapped
+            direct = sum(truth[e][1] == ci for ci, eps in enumerate(clusters)
+                         for e in eps)
+            swapped = sum(truth[e][1] == 1 - ci
+                          for ci, eps in enumerate(clusters) for e in eps)
+            purities.append(max(direct, swapped) / 6)
+        rows_by_tau[str(tau)] = {
+            "split_precision": round(len(tp) / len(predicted), 4)
+            if predicted else 1.0,
+            "split_recall": round(len(tp) / N_HOMONYMS, 4),
+            "mention_purity": round(sum(purities) / len(purities), 4)
+            if purities else None,
+            "n_predicted": len(predicted),
+        }
+    return {
+        "metric": "homonym_split_operating_points",
+        "embedder": "bow_hash_64d (generic token-hash bag-of-words)",
+        "fixture": f"{len(HOMONYM_NAMES)} names x 6 mentions, "
+                   f"{N_HOMONYMS} true homonym pairs, one group",
+        "by_threshold": rows_by_tau,
+    }

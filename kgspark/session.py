@@ -73,6 +73,16 @@ SQL_CONFS: dict[str, str] = {
     # dirs is microseconds on any FS; a real 100 TB deployment with
     # thousands of partitions still gets the parallel path.
     "spark.sql.sources.parallelPartitionDiscovery.threshold": "512",
+    # PySpark call-site capture (DataFrameQueryContext) costs ~3 extra
+    # py4j round-trips (a conf.get RPC + origin set/clear) PLUS a Python
+    # stack walk on EVERY wrapped DataFrame/Column call — cProfile on the
+    # point-update path showed ~10k py4j turns per add_episode with this
+    # on, a large slice of the driver-side wall (BASELINE fact 24: wall
+    # is driver-bound, not job-bound, at point-update sizes). The only
+    # loss is the "was called from user_code.py:N" line in error
+    # messages; KGSPARK_DF_DEBUG=1 restores it for interactive debugging.
+    "spark.python.sql.dataFrameDebugging.enabled": (
+        "true" if os.environ.get("KGSPARK_DF_DEBUG") == "1" else "false"),
 }
 
 

@@ -100,14 +100,16 @@ def ingest_pages(
     if store.exists("raw_episodes"):
         seen = store.read_parts(spark, "raw_episodes", parts).select("uuid")
         episodes = episodes.join(seen, "uuid", "left_anti")
-    # eager localCheckpoint severs lineage BEFORE we append to
-    # raw_episodes — otherwise the anti-join above re-reads the table we
-    # just appended this very batch to and filters everything out. This
-    # job also materializes run_extraction's shared persist, so the two
-    # ext appends below read the cache directly — appending them without
-    # their own checkpoints saves 2 driver jobs per batch (jobs are wall
-    # time at point-update sizes, BASELINE fact 24).
-    episodes = episodes.localCheckpoint()
+    # localCheckpoint severs lineage BEFORE we append to raw_episodes —
+    # otherwise the anti-join above re-reads the table we just appended
+    # this very batch to and filters everything out. eager=False: the
+    # n_new count below is the materializing action (one job instead of
+    # checkpoint-job + count-job), and it also populates
+    # run_extraction's shared persist, so the two ext appends read the
+    # cache directly — appending them without their own checkpoints
+    # saves 2 more driver jobs per batch (jobs are wall time at
+    # point-update sizes, BASELINE fact 24).
+    episodes = episodes.localCheckpoint(eager=False)
     new_uuids = episodes.select(F.col("uuid").alias("episode_uuid"))
     ext_nodes = ext_nodes.join(F.broadcast(new_uuids), "episode_uuid", "left_semi")
     ext_edges = ext_edges.join(F.broadcast(new_uuids), "episode_uuid", "left_semi")
@@ -199,9 +201,25 @@ def reassemble_groups(
     # materialization job is submitted — the splice's fused
     # count+present-parts action computes the checkpoint RDD and
     # populates its cache in the same job, keeping the 39-job budget.
-    ckpt = {t: g[t].localCheckpoint(eager=False) for t in GRAPH_TABLES}
+    # The localCheckpoint CALL itself moved into the pool threads
+    # (round 5): the four deep Catalyst passes ran serially on the main
+    # thread (~1 s/episode measured by cProfile); JVM-side analysis
+    # releases the GIL, so per-thread checkpointing overlaps them. The
+    # postings task needs the three frames it consumes checkpointed
+    # before it plans against them — events gate that handoff without
+    # serializing the graph-table splices behind each other.
+    import threading
+
+    ckpt: dict[str, DataFrame] = {}
+    ckpt_ready = {t: threading.Event() for t in GRAPH_TABLES}
 
     def _splice(t: str) -> tuple[str, int]:
+        try:
+            ckpt[t] = g[t].localCheckpoint(eager=False)
+        finally:
+            # always release waiters — a checkpoint error must surface as
+            # the postings task's KeyError, never as a deadlocked pool
+            ckpt_ready[t].set()
         return t, store.splice_groups(spark, t, ckpt[t], groups,
                                       parts=parts, group_list=group_list)
 
@@ -215,6 +233,8 @@ def reassemble_groups(
     from kgspark.search.fulltext import refresh_postings_groups
 
     def _postings() -> tuple[str, int]:
+        for t in ("episodes", "nodes", "edges"):
+            ckpt_ready[t].wait()
         return "postings", refresh_postings_groups(
             spark, store, groups, parts=parts, group_list=group_list,
             graph_frames={t: ckpt[t] for t in ("episodes", "nodes", "edges")})

@@ -253,14 +253,21 @@ def test_multimodal_real_decode(spark):
     # --- audio: a 440-sample int16 ramp, known rms / zero crossings
     t = np.arange(2048)
     sig = (10000 * np.sin(t / 8.0)).astype(np.int16)
+    from kgspark.datapipe.flaccodec import encode_flac
+
+    # the SAME signal as WAV and as FLAC must produce identical features
+    # (FLAC is lossless; flaccodec.py decodes it for real on executors)
     adf = spark.createDataFrame(pd.DataFrame({
-        "id": [1], "payload": [encode_wav(sig)]}))
-    [a] = audio_features(adf, "id", "payload").collect()
-    assert a["n_samples"] == 2048
+        "id": [1, 2], "payload": [encode_wav(sig), encode_flac(sig)]}))
+    feats = {r["id"]: r for r in
+             audio_features(adf, "id", "payload").collect()}
     want_rms = round(float(np.sqrt((sig.astype(np.float64) ** 2).mean())), 3)
-    assert a["rms"] == want_rms
     s32 = sig.astype(np.int32)
-    assert a["zero_crossings"] == int(((s32[:-1] * s32[1:]) < 0).sum())
+    want_zc = int(((s32[:-1] * s32[1:]) < 0).sum())
+    for a in feats.values():
+        assert a["n_samples"] == 2048
+        assert a["rms"] == want_rms
+        assert a["zero_crossings"] == want_zc
 
 
 def _clustered_vecs():

@@ -185,3 +185,17 @@ def test_context_split_off_matches_default(spark):
     jordans = [n for n in g["nodes"].collect()
                if n["name"] == "Michael Jordan"]
     assert len(jordans) == 1
+
+
+def test_homonym_eval_operating_point(spark):
+    """The shipped default τ=0.5 holds its measured operating point on
+    the eval fixture under the GENERIC bag-of-words hash embedder (no
+    fixture-specific keywords): split precision 1.0, recall ≥ 0.9,
+    mention purity 1.0 (EVAL_HOMONYM.json / SURVEY §8)."""
+    from kgspark.evals import run_homonym_eval
+
+    res = run_homonym_eval(spark, thresholds=[0.5])
+    row = res["by_threshold"]["0.5"]
+    assert row["split_precision"] == 1.0
+    assert row["split_recall"] >= 0.9
+    assert row["mention_purity"] == 1.0

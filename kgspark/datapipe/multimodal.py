@@ -164,8 +164,8 @@ def _png_unfilter(raw: np.ndarray, h: int, w: int, ch: int) -> np.ndarray:
 def _decode_png_bytes(content: bytes) -> np.ndarray:
     """PNG → uint8 grayscale 2-D array using only stdlib ``zlib`` +
     numpy: IHDR parse, IDAT inflate, per-scanline unfiltering, color
-    conversion. 8-bit gray / RGB / palette / gray+alpha / RGBA,
-    non-interlaced (the overwhelming web-crawl case; Adam7 raises)."""
+    conversion. 8-bit gray / RGB / palette / gray+alpha / RGBA, both
+    non-interlaced and Adam7-interlaced (PNG spec §8.2)."""
     import zlib
 
     if content[:8] != b"\x89PNG\r\n\x1a\n":
@@ -190,26 +190,44 @@ def _decode_png_bytes(content: bytes) -> np.ndarray:
         raise ValueError("PNG missing IHDR")
     if depth != 8:
         raise NotImplementedError(f"only 8-bit PNG (got depth {depth})")
-    if interlace:
-        raise NotImplementedError("Adam7-interlaced PNG not supported")
     channels = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}.get(ctype)
     if channels is None:
         raise ValueError(f"bad PNG color type {ctype}")
     raw = np.frombuffer(zlib.decompress(b"".join(idat)), dtype=np.uint8)
-    if raw.size != h * (1 + w * channels):
-        raise ValueError("PNG pixel data size mismatch")
-    px = _png_unfilter(raw, h, w, channels)
+    if interlace:
+        # Adam7 (PNG spec §8.2): the IDAT stream holds 7 sub-images,
+        # each filtered independently; unfilter each pass and scatter
+        # its pixels onto the (start, stride) lattice.
+        px3 = np.zeros((h, w, channels), dtype=np.uint8)
+        off = 0
+        for x0, y0, dx, dy in ((0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8),
+                               (2, 0, 4, 4), (0, 2, 2, 4), (1, 0, 2, 2),
+                               (0, 1, 1, 2)):
+            pw = (w - x0 + dx - 1) // dx
+            ph = (h - y0 + dy - 1) // dy
+            if pw == 0 or ph == 0:
+                continue
+            sz = ph * (1 + pw * channels)
+            sub = _png_unfilter(raw[off:off + sz], ph, pw, channels)
+            off += sz
+            px3[y0::dy, x0::dx] = sub.reshape(ph, pw, channels)
+        if off != raw.size:
+            raise ValueError("PNG interlaced pixel data size mismatch")
+    else:
+        if raw.size != h * (1 + w * channels):
+            raise ValueError("PNG pixel data size mismatch")
+        px3 = _png_unfilter(raw, h, w, channels).reshape(h, w, channels)
     if ctype == 0:
-        return px.reshape(h, w)
+        return px3.reshape(h, w)
     if ctype == 2:
-        return _luma(px.reshape(h, w, 3))
+        return _luma(px3)
     if ctype == 3:
         if plte is None:
             raise ValueError("palette PNG missing PLTE")
-        return _luma(plte[px.reshape(h, w)])
+        return _luma(plte[px3.reshape(h, w)])
     if ctype == 4:  # gray + alpha: drop alpha
-        return px.reshape(h, w, 2)[..., 0].copy()
-    return _luma(px.reshape(h, w, 4)[..., :3])  # RGBA: drop alpha
+        return px3[..., 0].copy()
+    return _luma(px3[..., :3])  # RGBA: drop alpha
 
 
 def _gif_lzw_decode(data: bytes, min_code_size: int) -> list[int]:

@@ -455,6 +455,48 @@ def test_png_decode_known_answer_vectors():
     assert np.array_equal(_decode_png_bytes(png(subup, 3, 2)), want)
 
 
+def test_png_adam7_interlaced_decode():
+    """Adam7 decode vs an in-test interlaced writer built straight from
+    the spec pass table (§8.2) — independent of the library decoder.
+    Odd dimensions stress the ceil pass-size math; the 2×2 case leaves
+    several passes empty."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    from kgspark.datapipe.multimodal import _decode_png_bytes
+
+    PASSES = ((0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+              (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2))
+
+    def interlaced_png(img: np.ndarray) -> bytes:
+        h, w = img.shape
+        raw = bytearray()
+        for x0, y0, dx, dy in PASSES:
+            sub = img[y0::dy, x0::dx]
+            if sub.size == 0:
+                continue
+            for row in sub:
+                raw.append(0)            # filter type None
+                raw.extend(row.tobytes())
+
+        def chunk(tag, data):
+            return (struct.pack(">I", len(data)) + tag + data
+                    + struct.pack(">I", zlib.crc32(tag + data)))
+
+        ihdr = struct.pack(">IIBBBBB", w, h, 8, 0, 0, 0, 1)  # interlace=1
+        return (b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
+                + chunk(b"IDAT", zlib.compress(bytes(raw)))
+                + chunk(b"IEND", b""))
+
+    rng = np.random.default_rng(5)
+    for h, w in ((13, 11), (8, 8), (2, 2), (1, 9), (16, 5)):
+        img = rng.integers(0, 256, size=(h, w), dtype=np.uint8)
+        assert np.array_equal(_decode_png_bytes(interlaced_png(img)), img), \
+            (h, w)
+
+
 def test_png_gif_real_decode_through_spark(spark):
     """Real PNG (every filter type, gray + RGB + palette + RGBA) and GIF
     bytes decoded end-to-end through the image_features mapInPandas
@@ -530,7 +572,11 @@ def test_png_unsupported_variants_raise():
     base = encode_png(np.zeros((2, 3), dtype=np.uint8))
     with _pytest.raises(NotImplementedError, match="16|depth"):
         _decode_png_bytes(rewrite_ihdr(base, depth=16))
-    with _pytest.raises(NotImplementedError, match="interlaced"):
+    # interlace=1 is SUPPORTED since r5 (test_png_adam7_interlaced_decode)
+    # but this stream's IDAT is laid out progressively, so flipping only
+    # the IHDR flag must be caught by the pass-size accounting, not
+    # silently mis-decoded
+    with _pytest.raises(ValueError, match="interlaced|size"):
         _decode_png_bytes(rewrite_ihdr(base, interlace=1))
 
 

@@ -36,15 +36,25 @@ def main() -> None:
     path = os.path.join(REPO, path)
     art = json.load(open(path))
     legs = sorted(int(k[5:]) for k in art if k.startswith("local"))
-    lo, hi = legs[0], legs[-1]  # resample the highest leg even if >2 present
+    lo, hi = legs[0], legs[-1]  # default: the highest leg even if >2 present
+    # optional 3rd arg: which leg (core count) to resample — BOTH legs
+    # need the multi-window minimum when neither was measured on a known-
+    # quiet box (the r5 1.8M campaign resamples local1 AND local2)
+    target = int(sys.argv[3]) if len(sys.argv) > 3 else hi
+    if target not in legs:
+        raise SystemExit(f"leg local{target} not in artifact (has {legs})")
     n_docs = art["n_docs"]
     small = n_docs // 4
-    leg = art[f"local{hi}"]
-    hist = art.setdefault("resample_history", {"full_wall_s": [leg["wall_s"]],
-                                               "quarter_wall_s": [leg["wall_s_quarter_corpus"]]})
+    leg = art[f"local{target}"]
+    all_hist = art.setdefault("resample_history", {})
+    if "full_wall_s" in all_hist:  # migrate pre-r5 flat (hi-leg) layout
+        all_hist = art["resample_history"] = {f"local{hi}": all_hist}
+    hist = all_hist.setdefault(
+        f"local{target}", {"full_wall_s": [leg["wall_s"]],
+                           "quarter_wall_s": [leg["wall_s_quarter_corpus"]]})
     for _ in range(repeats):
-        big = run_bench(hi, n_docs)
-        sm = run_bench(hi, small)
+        big = run_bench(target, n_docs)
+        sm = run_bench(target, small)
         wb = big["queries"]["pipeline_build_graph"]
         ws = sm["queries"]["pipeline_build_graph"]
         hist["full_wall_s"].append(wb)
@@ -59,23 +69,24 @@ def main() -> None:
             leg["jvm_gc_ms_quarter_corpus"] = sm["pipeline"].get("jvm_gc_ms")
     leg["marginal_docs_per_sec"] = round(
         (n_docs - small) / max(leg["wall_s"] - leg["wall_s_quarter_corpus"], 1e-9), 1)
-    lo_leg = art[f"local{lo}"]
+    lo_leg, hi_leg = art[f"local{lo}"], art[f"local{hi}"]
     ratio = hi / lo
     art["value"] = round(
-        (leg["marginal_docs_per_sec"] / lo_leg["marginal_docs_per_sec"]) / ratio, 3)
+        (hi_leg["marginal_docs_per_sec"] / lo_leg["marginal_docs_per_sec"]) / ratio, 3)
     art["end_to_end_efficiency"] = round(
-        (leg["docs_per_sec"] / lo_leg["docs_per_sec"]) / ratio, 3)
-    art["speedup_end_to_end"] = round(leg["docs_per_sec"] / lo_leg["docs_per_sec"], 2)
+        (hi_leg["docs_per_sec"] / lo_leg["docs_per_sec"]) / ratio, 3)
+    art["speedup_end_to_end"] = round(
+        hi_leg["docs_per_sec"] / lo_leg["docs_per_sec"], 2)
     art["speedup_steady_state"] = round(
-        leg["marginal_docs_per_sec"] / lo_leg["marginal_docs_per_sec"], 2)
+        hi_leg["marginal_docs_per_sec"] / lo_leg["marginal_docs_per_sec"], 2)
     art["method"] += (
-        "; high-parallelism legs additionally resampled across separate "
+        "; legs additionally resampled across separate "
         "session time windows (minutes-scale host co-tenancy is bimodal on "
         "this box) and merged by per-leg minimum — full sample history in "
         "resample_history"
     )
     # method string appended once per file write is wrong if run twice — dedup
-    marker = "; high-parallelism legs additionally resampled"
+    marker = "; legs additionally resampled"
     first = art["method"].find(marker)
     second = art["method"].find(marker, first + 1)
     if second != -1:

@@ -185,20 +185,26 @@ def kcore_numbers(
 
     ``n_iter`` fixed → deterministic unrolled schedule (cross-engine
     oracle parity, like community.label_propagation); ``None`` → run to
-    convergence with a 1-row change probe per round, raising after
-    ``max_iter`` rather than returning an unconverged labeling (the
-    connected_components contract, dedup.py). Convergence is fast on
-    dense regions but O(diameter) on path-like tails (a lowered
-    estimate walks inward one hop per round) — web co-occurrence
-    graphs are short-diameter, but pick ``n_iter`` ≥ the longest
-    induced path you care about, or use the converge-checked mode.
+    convergence by DELTA ITERATION (round 5): a node's h-index depends
+    only on its neighbors' estimates, so after the first full round only
+    neighbors of changed nodes can change — each round recomputes just
+    that candidate set and merges. Rounds are still O(diameter) on
+    path-like tails (a lowered estimate walks inward one hop per
+    round), but per-round WORK shrinks with the frontier instead of
+    staying O(E): on a 120-node path the full recompute does 120·2
+    neighbor rows × ~60 rounds, the delta loop a handful per round.
+    Raises after ``max_iter`` rather than returning an unconverged
+    labeling (the connected_components contract, dedup.py).
 
     Scale shape: the symmetric adjacency — the big side — is
-    hash-partitioned on the neighbor key ONCE and persisted; per round
-    only the slim (node, est) vector shuffles (pagerank pattern,
-    centrality.py). The h-index needs each node's neighbor estimates
-    ranked, which is a per-node window sort — hub partitions sort
-    deg(hub) slim rows and spill if huge; no driver-side state, no
+    hash-partitioned ONCE per join key and persisted (by neighbor ``b``
+    for the estimate join; convergence mode persists a second copy by
+    ``a`` so the candidate semi-join is co-partitioned — a documented
+    memory-for-shuffle trade). Per round only slim (node, est) /
+    frontier vectors and the frontier's adjacency rows shuffle (pagerank
+    pattern, centrality.py). The h-index needs each node's neighbor
+    estimates ranked, which is a per-node window sort — hub partitions
+    sort deg(hub) slim rows and spill if huge; no driver-side state, no
     collected arrays.
     """
     if n_iter is not None and n_iter < 1:
@@ -213,52 +219,98 @@ def kcore_numbers(
 
     from pyspark.sql import Window
 
+    adj_a = None
     try:
-        return _kcore_loop(adj, n_iter, max_iter, Window)
+        if n_iter is not None:
+            return _kcore_loop(adj, n_iter, max_iter, Window)
+        adj_a = (adj.repartition(num_partitions, "a") if num_partitions
+                 else adj.repartition("a")).persist()
+        return _kcore_loop_delta(adj, adj_a, max_iter, Window)
     finally:
         adj.unpersist()  # also on per-round job failure — no cache leak
+        if adj_a is not None:
+            adj_a.unpersist()
+
+
+def _hindex_pass(adj_rows, est, Window):
+    """One h-index recomputation over ``adj_rows`` (a, b) against the
+    full estimate vector: h(v) = max over rank rn of min(rn, est) when
+    the node's neighbor estimates are sorted descending."""
+    nb = adj_rows.join(est.withColumnRenamed("id", "b"), "b").select("a", "est")
+    w = Window.partitionBy("a").orderBy(F.desc("est"))
+    return (
+        nb.withColumn("rn", F.row_number().over(w))
+        .select("a", F.least(F.col("rn").cast("long"), F.col("est")).alias("m"))
+        .groupBy("a")
+        .agg(F.max("m").alias("new_est"))
+        .select(F.col("a").alias("id"), F.col("new_est").alias("est"))
+    )
 
 
 def _kcore_loop(adj, n_iter, max_iter, Window):
+    """Fixed-schedule mode: n_iter full h-index rounds (oracle parity)."""
     est = adj.groupBy(F.col("a").alias("id")).agg(
         F.count("*").cast("long").alias("est")
     ).localCheckpoint()
+    for _ in range(n_iter):
+        est = _hindex_pass(adj, est, Window).localCheckpoint()
+    # est is localCheckpoint-materialized: safe for the caller's finally
+    # to unpersist adj before the returned frame is consumed
+    return est.select(F.col("id").alias("node"), F.col("est").alias("core"))
 
+
+def _kcore_loop_delta(adj, adj_a, max_iter, Window):
+    """Convergence mode by delta iteration: round 1 recomputes every
+    node (frontier = all); thereafter only NEIGHBORS of changed nodes
+    are recomputed and merged over the previous estimates. Terminates
+    when the frontier empties — the estimates are then a fixpoint, and
+    the fixpoint of the h-index operator is exactly the core number
+    (Montresor et al. 2013, Thm 1)."""
+    est = adj.groupBy(F.col("a").alias("id")).agg(
+        F.count("*").cast("long").alias("est")
+    ).localCheckpoint()
+    frontier = est.select("id")  # round 1: everyone "changed"
     rounds = 0
     while True:
-        nb = adj.join(est.withColumnRenamed("id", "b"), "b").select("a", "est")
-        w = Window.partitionBy("a").orderBy(F.desc("est"))
-        new = (
-            nb.withColumn("rn", F.row_number().over(w))
-            .select("a", F.least(F.col("rn").cast("long"), F.col("est")).alias("m"))
-            .groupBy("a")
-            .agg(F.max("m").alias("new_est"))
-            .select(F.col("a").alias("id"), F.col("new_est").alias("est"))
+        # candidates: nodes with a changed neighbor (adj is partitioned
+        # by b — the frontier shuffles, the big side does not)
+        cand = (
+            adj.join(frontier.withColumnRenamed("id", "b"), "b")
+            .select(F.col("a").alias("id")).distinct()
+        )
+        # candidate adjacency: adj_a is partitioned by a, and cand's
+        # distinct output is hash-partitioned on the same key — the
+        # semi-join is co-partitioned, no O(E) shuffle
+        sub = adj_a.join(cand.withColumnRenamed("id", "a"), "a", "left_semi")
+        new = _hindex_pass(sub, est, Window)
+        merged = (
+            est.withColumnRenamed("est", "old")
+            .join(new, "id", "left")
+            .select(
+                "id", "old",
+                F.coalesce("est", "old").alias("est"),
+            )
             .localCheckpoint()
         )
+        frontier = merged.where("est != old").select("id")
+        est = merged.select("id", "est")
         rounds += 1
-        if n_iter is not None:
-            est = new
-            if rounds >= n_iter:
-                break
-            continue
-        changed = (
-            est.withColumnRenamed("est", "old")
-            .join(new, "id")
-            .where("old != est")
-            .limit(1)
-            .count()
-        )
-        est = new
-        if changed == 0:
+        # one slim count probes convergence AND materializes `merged`
+        n_changed = frontier.count()
+        if n_changed == 0:
             break
         if rounds >= max_iter:
             raise RuntimeError(
                 f"kcore_numbers: no fixpoint after {max_iter} h-index rounds"
             )
-    # est is localCheckpoint-materialized: safe for the caller's finally
-    # to unpersist adj before the returned frame is consumed
+    global LAST_KCORE_ROUNDS
+    LAST_KCORE_ROUNDS = rounds  # diagnostic only (benchmark round counts)
     return est.select(F.col("id").alias("node"), F.col("est").alias("core"))
+
+
+#: rounds used by the most recent convergence-mode kcore_numbers call on
+#: this driver — diagnostic, read by tools/datapipe_bench.py
+LAST_KCORE_ROUNDS: int | None = None
 
 
 def kcore_oracle_sql(edges_sql: str, n_iter: int) -> str:

@@ -75,8 +75,18 @@ def _decode_pnm_bytes(content: bytes) -> np.ndarray:
         i = j
     i += 1  # single whitespace after maxval
     w, h, maxval = (int(t) for t in tokens)
+    if maxval > 65535:
+        raise ValueError(f"PNM maxval {maxval} out of spec (<= 65535)")
     if maxval > 255:
-        raise NotImplementedError("16-bit PNM not supported")
+        # 16-bit PNM: big-endian 2-byte samples (netpbm spec); rescale
+        # to 8-bit with rounding so the feature pipeline stays uint8
+        dt, nch = np.dtype(">u2"), (1 if magic == b"P5" else 3)
+        px16 = np.frombuffer(content, dtype=dt, count=w * h * nch, offset=i)
+        px = ((px16.astype(np.uint32) * 255 + maxval // 2) // maxval
+              ).astype(np.uint8)
+        if magic == b"P5":
+            return px.reshape(h, w).copy()
+        return _luma(px.reshape(h, w, 3))
     if magic == b"P5":
         px = np.frombuffer(content, dtype=np.uint8, count=w * h, offset=i)
         return px.reshape(h, w).copy()
@@ -96,16 +106,26 @@ def _decode_bmp_bytes(content: bytes) -> np.ndarray:
     hdr_size, w, h = struct.unpack_from("<Iii", content, 14)
     planes, bpp = struct.unpack_from("<HH", content, 26)
     compression = struct.unpack_from("<I", content, 30)[0]
-    if hdr_size < 40 or bpp != 24 or compression != 0:
-        raise NotImplementedError("only uncompressed 24-bit BMP")
+    if hdr_size < 40 or compression != 0 or bpp not in (8, 24, 32):
+        raise NotImplementedError(
+            "only uncompressed 8-bit-paletted / 24-bit / 32-bit BMP")
     bottom_up = h > 0
     h = abs(h)
-    stride = (w * 3 + 3) // 4 * 4
+    nbytes = bpp // 8
+    stride = (w * nbytes + 3) // 4 * 4
     rows = np.frombuffer(content, dtype=np.uint8, count=stride * h,
                          offset=data_off).reshape(h, stride)
-    bgr = rows[:, : w * 3].reshape(h, w, 3).astype(np.uint32)
     if bottom_up:
-        bgr = bgr[::-1]
+        rows = rows[::-1]
+    if bpp == 8:
+        # color table: BGRX quads right after the info header
+        clr_used = struct.unpack_from("<I", content, 46)[0] or 256
+        pal = np.frombuffer(content, dtype=np.uint8, count=clr_used * 4,
+                            offset=14 + hdr_size).reshape(-1, 4)
+        bgr = pal[rows[:, :w]][..., :3].astype(np.uint32)
+    else:
+        bgr = (rows[:, : w * nbytes].reshape(h, w, nbytes)[..., :3]
+               .astype(np.uint32))
     return ((bgr[..., 2] * 299 + bgr[..., 1] * 587 + bgr[..., 0] * 114)
             // 1000).astype(np.uint8)
 

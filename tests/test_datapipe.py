@@ -455,6 +455,58 @@ def test_png_decode_known_answer_vectors():
     assert np.array_equal(_decode_png_bytes(png(subup, 3, 2)), want)
 
 
+def test_pnm16_and_bmp_palette_decode():
+    """16-bit PNM (big-endian samples, rounded rescale to 8-bit) and
+    8-bit-paletted / 32-bit BMP variants, bytes hand-built in-test."""
+    import struct
+
+    import numpy as np
+
+    from kgspark.datapipe.multimodal import _decode_bmp_bytes, _decode_pnm_bytes
+
+    # --- 16-bit PGM: maxval 65535, values chosen to check rounding
+    vals = np.array([[0, 32768, 65535], [257, 65278, 12850]], dtype=">u2")
+    pgm16 = b"P5 3 2 65535\n" + vals.tobytes()
+    want = ((vals.astype(np.uint32) * 255 + 32767) // 65535).astype(np.uint8)
+    assert np.array_equal(_decode_pnm_bytes(pgm16), want)
+
+    # --- 16-bit PPM with r=g=b equals the grayscale twin
+    rgb16 = np.repeat(vals[:, :, None], 3, axis=2).astype(">u2")
+    ppm16 = b"P6 3 2 65535\n" + rgb16.tobytes()
+    assert np.array_equal(_decode_pnm_bytes(ppm16), want)
+
+    # --- 8-bit paletted BMP: 2x3 bottom-up, identity gray palette
+    idx = np.array([[10, 200, 30], [250, 0, 128]], dtype=np.uint8)
+
+    def bmp8(idx: np.ndarray) -> bytes:
+        h, w = idx.shape
+        pal = b"".join(bytes([i, i, i, 0]) for i in range(256))
+        stride = (w + 3) // 4 * 4
+        body = b"".join(idx[y].tobytes() + b"\x00" * (stride - w)
+                        for y in range(h - 1, -1, -1))  # bottom-up
+        off = 14 + 40 + len(pal)
+        return (b"BM" + struct.pack("<IHHI", off + len(body), 0, 0, off)
+                + struct.pack("<IiiHHIIiiII", 40, w, h, 1, 8, 0,
+                              len(body), 2835, 2835, 256, 0)
+                + pal + body)
+
+    assert np.array_equal(_decode_bmp_bytes(bmp8(idx)), idx)
+
+    # --- 32-bit BMP (BGRA): gray values survive the alpha drop
+    def bmp32(gray: np.ndarray) -> bytes:
+        h, w = gray.shape
+        body = b"".join(
+            b"".join(bytes([v, v, v, 255]) for v in gray[y])
+            for y in range(h - 1, -1, -1))
+        off = 14 + 40
+        return (b"BM" + struct.pack("<IHHI", off + len(body), 0, 0, off)
+                + struct.pack("<IiiHHIIiiII", 40, w, h, 1, 32, 0,
+                              len(body), 2835, 2835, 0, 0)
+                + body)
+
+    assert np.array_equal(_decode_bmp_bytes(bmp32(idx)), idx)
+
+
 def test_png_adam7_interlaced_decode():
     """Adam7 decode vs an in-test interlaced writer built straight from
     the spec pass table (§8.2) — independent of the library decoder.

@@ -73,6 +73,11 @@ SQL_CONFS: dict[str, str] = {
     # dirs is microseconds on any FS; a real 100 TB deployment with
     # thousands of partitions still gets the parallel path.
     "spark.sql.sources.parallelPartitionDiscovery.threshold": "512",
+}
+
+# STATIC confs: must be set at JVM/session build (builder .config or
+# spark-submit --conf) — runtime spark.conf.set raises CANNOT_MODIFY.
+STATIC_CONFS: dict[str, str] = {
     # PySpark call-site capture (DataFrameQueryContext) costs ~3 extra
     # py4j round-trips (a conf.get RPC + origin set/clear) PLUS a Python
     # stack walk on EVERY wrapped DataFrame/Column call — cProfile on the
@@ -81,6 +86,8 @@ SQL_CONFS: dict[str, str] = {
     # is driver-bound, not job-bound, at point-update sizes). The only
     # loss is the "was called from user_code.py:N" line in error
     # messages; KGSPARK_DF_DEBUG=1 restores it for interactive debugging.
+    # Submitted jobs (tune_session path) pass it on the spark-submit
+    # command line: --conf spark.python.sql.dataFrameDebugging.enabled=false
     "spark.python.sql.dataFrameDebugging.enabled": (
         "true" if os.environ.get("KGSPARK_DF_DEBUG") == "1" else "false"),
 }
@@ -142,7 +149,7 @@ def get_spark(
     # Notable: coalescePartitions.parallelismFirst=false shrinks tiny
     # shuffles to few tasks instead of >= defaultParallelism — measured
     # 1.5× end-to-end on the KG pipeline at local[32].
-    for k, v in SQL_CONFS.items():
+    for k, v in {**SQL_CONFS, **STATIC_CONFS}.items():
         b = b.config(k, v)
     local_dir = _default_local_dir()
     if local_dir:
